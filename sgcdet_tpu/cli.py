@@ -1,0 +1,255 @@
+"""Command-line entry: train / eval / show for the four released configs.
+
+The TPU-native equivalent of the reference CLI (main.py:16-97 + the Lightning
+Trainer wiring): `python -m sgcdet_tpu.cli --config scannet --mode train`.
+
+Subsystems mirrored: per-run log folder with dumped config (main.py:36-45),
+scalar logging (TensorBoard if available, JSONL always), step profiler
+(jax.profiler), per-epoch orbax checkpoints (main.py:55-61), warm-start
+--load_from with released-PyTorch conversion (pl_model.py:29-36), periodic
+val mAP as the integration signal (pl_model.py:59-74).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="sgcdet_tpu")
+    p.add_argument("--config", required=True,
+                   help="scannet | arkit | scannet200_large | arkit_large")
+    p.add_argument("--mode", default="train", choices=["train", "eval", "show"])
+    p.add_argument("--data_root", default=None)
+    p.add_argument("--log_folder", default="default")
+    p.add_argument("--ckpt_path", default=None, help="orbax checkpoint to eval")
+    p.add_argument("--load_from", default=None,
+                   help="warm start: orbax dir or released torch .ckpt/.pth")
+    p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--eval_every_epochs", type=int, default=1)
+    p.add_argument("--profile_steps", type=int, default=0,
+                   help="capture a jax.profiler trace for N steps")
+    p.add_argument("--query_chunk", type=int, default=800)
+    p.add_argument("--n_views_test", type=int, default=None,
+                   help="override eval view count (memory/speed knob)")
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+class MetricLogger:
+    """JSONL always; TensorBoard when torch.utils.tensorboard is importable."""
+
+    def __init__(self, log_dir):
+        self.log_dir = Path(log_dir)
+        self.log_dir.mkdir(parents=True, exist_ok=True)
+        self.jsonl = open(self.log_dir / "metrics.jsonl", "a")
+        self.tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self.tb = SummaryWriter(str(self.log_dir / "tensorboard"))
+        except Exception:
+            pass
+
+    def log(self, step, scalars, prefix=""):
+        rec = {"step": int(step), **{prefix + k: float(v) for k, v in scalars.items()}}
+        self.jsonl.write(json.dumps(rec) + "\n")
+        self.jsonl.flush()
+        if self.tb is not None:
+            for k, v in scalars.items():
+                self.tb.add_scalar(prefix + k, float(v), int(step))
+
+
+def build_dataset_and_loader(config, train, batch_size, num_workers, seed,
+                             host_id=0, num_hosts=1):
+    from .data import MultiViewDataset, SceneLoader
+
+    ds = MultiViewDataset(
+        config.data, train=train,
+        load_depth=config.model.depth_loss or config.model.use_gt_dpt,
+        seed=seed,
+    )
+    loader = SceneLoader(
+        ds,
+        batch_size=batch_size,
+        shuffle=train,
+        repeat_times=config.data.repeat_times if train else 1,
+        num_workers=num_workers,
+        max_boxes=config.data.max_boxes,
+        host_id=host_id,
+        num_hosts=num_hosts,
+        seed=seed,
+        drop_last=train,
+    )
+    return ds, loader
+
+
+def run_eval(config, model, params, batch_stats, dataset, logger=None, step=0,
+             show_dir=None):
+    """Full-dataset inference + indoor mAP (pl_model.py:76-90)."""
+    import jax
+    from .eval import indoor_eval
+    from .geometry import DepthBoxes3D
+    from .models.det_head import decode_bboxes
+    from .train.loop import make_eval_step
+
+    eval_fn = make_eval_step(model, config)
+    dt_annos, gt_annos = [], []
+    for i in range(len(dataset)):
+        scene = dataset[i]
+        scene_dev = {
+            k: scene[k] for k in ("imgs", "proj_img", "proj_feat4", "origin")
+        }
+        out = eval_fn(params, batch_stats, scene_dev)
+        head_outs = jax.tree_util.tree_map(np.asarray, out["head_outs"])
+        valid = np.asarray(out["valid"])
+        boxes, scores, labels = decode_bboxes(
+            head_outs, valid, scene["origin"], config.model.voxel_size, config.model
+        )
+        yawed = config.model.head_type == "sunrgbd"
+        det = DepthBoxes3D(
+            boxes, box_dim=boxes.shape[-1] if len(boxes) else (7 if yawed else 6),
+            with_yaw=yawed, origin=(0.5, 0.5, 0.5),
+        )
+        dt_annos.append(dict(boxes_3d=det, scores_3d=scores, labels_3d=labels))
+        gt_annos.append(dataset.gt_anno(scene["index"]))
+        if show_dir is not None:
+            np.save(Path(show_dir) / f"{i:05d}_boxes.npy", boxes)
+            np.save(Path(show_dir) / f"{i:05d}_scores.npy", scores)
+            np.save(Path(show_dir) / f"{i:05d}_labels.npy", labels)
+    label2cat = dict(enumerate(config.data.classes))
+    ret = indoor_eval(gt_annos, dt_annos, [0.25, 0.5], label2cat)
+    if logger is not None:
+        logger.log(step, {k: v for k, v in ret.items() if k.startswith("mA")},
+                   prefix="val/")
+    return ret
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
+    import jax
+    from .configs import get_config
+    from .parallel import make_mesh, batch_sharding, replicated_sharding
+    from .train.checkpoint import load_torch_checkpoint, save_checkpoint
+    from .train.loop import init_train_state, make_train_step
+
+    config = get_config(args.config)
+    if args.data_root:
+        config = dataclasses.replace(
+            config, data=dataclasses.replace(config.data, data_root=args.data_root)
+        )
+    if args.n_views_test:
+        config = dataclasses.replace(
+            config,
+            data=dataclasses.replace(config.data, n_images_test=args.n_views_test),
+        )
+    log_dir = Path("logs") / args.log_folder
+    log_dir.mkdir(parents=True, exist_ok=True)
+    (log_dir / "config.json").write_text(
+        json.dumps(dataclasses.asdict(config), indent=2, default=str)
+    )
+    logger = MetricLogger(log_dir)
+
+    n_devices = jax.local_device_count()
+    train_ds, train_loader = (None, None)
+    if args.mode == "train":
+        train_ds, train_loader = build_dataset_and_loader(
+            config, True, n_devices, args.num_workers, args.seed
+        )
+        example = train_ds[0]
+    else:
+        val_ds, _ = build_dataset_and_loader(config, False, 1, 0, args.seed)
+        example = val_ds[0]
+
+    example_scene = {
+        k: example[k] for k in ("imgs", "proj_img", "proj_feat4", "origin")
+    }
+    model, state, tx = init_train_state(
+        config, jax.random.PRNGKey(args.seed), example_scene,
+        query_chunk=args.query_chunk,
+    )
+
+    if args.load_from:
+        if args.load_from.endswith((".ckpt", ".pth")):
+            params, stats = load_torch_checkpoint(
+                args.load_from, state.params, state.batch_stats,
+                n_levels=len(config.model.n_voxels_list),
+            )
+            state = state.replace(params=params, batch_stats=stats)
+        else:
+            from .train.checkpoint import restore_checkpoint
+
+            state = restore_checkpoint(args.load_from, state)
+
+    if args.mode in ("eval", "show"):
+        val_ds, _ = build_dataset_and_loader(config, False, 1, 0, args.seed)
+        show_dir = None
+        if args.mode == "show":
+            show_dir = log_dir / "show"
+            show_dir.mkdir(exist_ok=True)
+        ret = run_eval(config, model, state.params, state.batch_stats, val_ds,
+                       logger, 0, show_dir)
+        print(json.dumps({k: v for k, v in ret.items() if k.startswith("mA")}))
+        return ret
+
+    # ---- train ----
+    mesh = make_mesh(jax.devices(), ("data",)) if n_devices > 1 else None
+    step_fn = make_train_step(model, config, tx, mesh=mesh)
+    if mesh is not None:
+        state = jax.device_put(state, replicated_sharding(mesh))
+        bsh = batch_sharding(mesh)
+
+    total_steps = args.max_steps or config.train.training_steps
+    rng = jax.random.PRNGKey(args.seed)
+    step = 0
+    epoch = 0
+    t_last = time.time()
+    profiled = False
+    while step < total_steps:
+        for batch in train_loader:
+            if step >= total_steps:
+                break
+            device_batch = {
+                k: v for k, v in batch.items() if k != "index"
+            }
+            if mesh is not None:
+                device_batch = {
+                    k: jax.device_put(v, bsh) for k, v in device_batch.items()
+                }
+            rng, step_rng = jax.random.split(rng)
+            if args.profile_steps and not profiled and step == 5:
+                jax.profiler.start_trace(str(log_dir / "profile"))
+            state, metrics = step_fn(state, device_batch, step_rng)
+            if args.profile_steps and not profiled and step == 5 + args.profile_steps:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+                profiled = True
+            step += 1
+            if step % 10 == 0:
+                metrics = jax.tree_util.tree_map(float, jax.device_get(metrics))
+                dt = time.time() - t_last
+                t_last = time.time()
+                metrics["steps_per_sec"] = 10 / dt
+                logger.log(step, metrics, prefix="train/")
+                print(f"step {step}: loss={metrics['loss']:.4f} "
+                      f"({metrics['steps_per_sec']:.2f} it/s)", flush=True)
+        epoch += 1
+        save_checkpoint(str(log_dir / "ckpt"), jax.device_get(state), step)
+        if args.eval_every_epochs and epoch % args.eval_every_epochs == 0:
+            val_ds, _ = build_dataset_and_loader(config, False, 1, 0, args.seed)
+            run_eval(config, model, state.params, state.batch_stats, val_ds,
+                     logger, step)
+    save_checkpoint(str(log_dir / "ckpt"), jax.device_get(state), step)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,25 @@
+from .config import (
+    SGCDetConfig,
+    ModelConfig,
+    DataConfig,
+    TrainConfig,
+    TestConfig,
+    scannet,
+    arkit,
+    scannet200_large,
+    arkit_large,
+    get_config,
+)
+
+__all__ = [
+    "SGCDetConfig",
+    "ModelConfig",
+    "DataConfig",
+    "TrainConfig",
+    "TestConfig",
+    "scannet",
+    "arkit",
+    "scannet200_large",
+    "arkit_large",
+    "get_config",
+]

@@ -1,0 +1,383 @@
+"""Geometry-and-context-aware 2D->3D lifting (the view transformer).
+
+Rebuild of the reference's PerceptionTransformer_DFA3D / VoxFormerEncoder_DFA3D
+/ DeformCrossAttention_DFA3D / MSDeformableAttention3D_DFA3D stack
+(/root/reference/mmdet3d_plugin/models/im2voxel/transformer_utils/
+transformer.py:115-185, encoder.py:158-340,
+deformable_cross_attention.py:343-501,691-837) as a *masked-dense* TPU module:
+
+* The reference packs, per camera, only the voxels visible in that camera
+  (dynamic ``nonzero`` + pad to max_len). Here every (camera, query) pair is
+  computed densely with a static shape and the visibility mask is applied at
+  the inter-view fusion — identical math, no dynamic shapes, and the query
+  axis is chunked with ``lax.map`` so the sampling gathers never materialize
+  more than a chunk at a time.
+* The two CUDA kernels (depth-score sampling + weighted MSDA) are the fused
+  ``dfa3d_attention`` op (jnp reference / Pallas kernel).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.msda import dfa3d_attention, msda_2d
+from .layers import (
+    FFN,
+    LayerNorm,
+    Linear,
+    MultiheadAttention,
+    xavier_uniform_init,
+)
+
+
+def point_sampling(ref_points, origin, projection, img_shape, dbound):
+    """Project voxel centers into every camera.
+
+    Args:
+      ref_points: (K, 3) voxel centers relative to scene origin.
+      origin: (3,) scene origin.
+      projection: (N, 3, 4) world->pixel projections at image resolution.
+      img_shape: static (H, W) of the resized (pre-pad) image.
+      dbound: (d_min, d_max, d_step).
+
+    Returns:
+      ref_cam: (N, K, 3) normalized (u, v, d_norm)
+      mask:    (N, K) visibility (encoder.py:179-223 semantics).
+    """
+    eps = 1e-5
+    ogf_h, ogf_w = img_shape
+    pts = ref_points + origin[None, :]
+    hom = jnp.concatenate([pts, jnp.ones_like(pts[:, :1])], axis=-1)  # (K, 4)
+    cam = jnp.einsum("nij,kj->nki", projection, hom)  # (N, K, 3)
+    d = cam[..., 2]
+    uv = cam[..., :2] / jnp.maximum(d, eps)[..., None]
+    u = uv[..., 0] / ogf_w
+    v = uv[..., 1] / ogf_h
+    d_norm = (d - dbound[0]) / (dbound[1] - dbound[0])
+    mask = (
+        (d > eps)
+        & (u > eps)
+        & (u < 1.0 - eps)
+        & (v > eps)
+        & (v < 1.0 - eps)
+    )
+    return jnp.stack([u, v, d_norm], axis=-1), mask
+
+
+def _uv_offset_bias(num_heads, num_levels, num_points):
+    """Directional grid init of the 2D sampling-offset bias
+    (deformable_cross_attention.py:194-208)."""
+    thetas = np.arange(num_heads, dtype=np.float32) * (2.0 * math.pi / num_heads)
+    grid = np.stack([np.cos(thetas), np.sin(thetas)], -1)
+    grid = grid / np.abs(grid).max(-1, keepdims=True)
+    grid = np.tile(grid.reshape(num_heads, 1, 1, 2), (1, num_levels, num_points, 1))
+    for i in range(num_points):
+        grid[:, :, i, :] *= i + 1
+    return grid.reshape(-1)
+
+
+def _depth_offset_bias(num_heads, num_levels, num_points):
+    """(cos+sin)/2 depth-offset bias (deformable_cross_attention.py:351-362)."""
+    thetas = np.arange(num_heads, dtype=np.float32) * (2.0 * math.pi / num_heads)
+    grid = ((np.cos(thetas) + np.sin(thetas)) / 2.0).reshape(num_heads, 1, 1, 1)
+    grid = np.tile(grid, (1, num_levels, num_points, 1))
+    for i in range(num_points):
+        grid[:, :, i, :] *= i + 1
+    return grid.reshape(-1)
+
+
+def _chunked_dfa3d(value, dpt, spatial_shapes, locs, attn, chunk):
+    """dfa3d_attention with the query axis processed in lax.map chunks."""
+    n, k = locs.shape[0], locs.shape[1]
+    if chunk is None or k <= chunk or k % chunk != 0:
+        return dfa3d_attention(value, dpt, spatial_shapes, locs, attn)[0]
+    n_chunks = k // chunk
+    locs_c = locs.reshape(n, n_chunks, chunk, *locs.shape[2:]).transpose(1, 0, 2, 3, 4, 5, 6)
+    attn_c = attn.reshape(n, n_chunks, chunk, *attn.shape[2:]).transpose(1, 0, 2, 3, 4, 5)
+
+    def body(args):
+        lc, ac = args
+        return dfa3d_attention(value, dpt, spatial_shapes, lc, ac)[0]
+
+    out = jax.lax.map(body, (locs_c, attn_c))  # (n_chunks, N, chunk, C)
+    return out.transpose(1, 0, 2, 3).reshape(n, k, -1)
+
+
+class MSDeformableAttention3D(nn.Module):
+    """Context branch: learned-offset depth-weighted deformable attention
+    (deformable_cross_attention.py:343-501)."""
+
+    embed_dims: int = 256
+    num_heads: int = 8
+    num_levels: int = 1
+    num_points: int = 4
+    query_chunk: int | None = 800
+
+    @nn.compact
+    def __call__(self, query, value, dpt_dist, ref_points, spatial_shapes):
+        """
+        query: (N, K, C); value: (N, num_value, C); dpt_dist: (N, num_value, D)
+        ref_points: (N, K, 1, 3) normalized; spatial_shapes: static ((H, W),...)
+        Returns (N, K, C).
+        """
+        n, k, c = query.shape
+        h, l, p = self.num_heads, self.num_levels, self.num_points
+        d_dim = dpt_dist.shape[-1]
+
+        v = Linear(c, kernel_init=xavier_uniform_init,
+                   bias_init=nn.initializers.zeros, name="value_proj")(value)
+        v = v.reshape(n, -1, h, c // h)
+
+        off_uv = Linear(
+            h * l * p * 2,
+            kernel_init=nn.initializers.zeros,
+            bias_init=lambda key, shape, dtype=jnp.float32: jnp.asarray(
+                _uv_offset_bias(h, l, p), dtype
+            ),
+            name="sampling_offsets",
+        )(query).reshape(n, k, h, l, p, 2)
+        off_d = Linear(
+            h * l * p,
+            kernel_init=nn.initializers.zeros,
+            bias_init=lambda key, shape, dtype=jnp.float32: jnp.asarray(
+                _depth_offset_bias(h, l, p), dtype
+            ),
+            name="sampling_offsets_depth",
+        )(query).reshape(n, k, h, l, p, 1)
+        offsets = jnp.concatenate([off_uv, off_d], axis=-1)
+
+        attn = Linear(
+            h * l * p,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="attention_weights",
+        )(query).reshape(n, k, h, l * p)
+        attn = jax.nn.softmax(attn, axis=-1).reshape(n, k, h, l, p)
+
+        # normalizer [W, H, D] per level (deformable_cross_attention.py:445-451)
+        normalizer = jnp.asarray(
+            [[w_, h_, d_dim] for (h_, w_) in spatial_shapes], jnp.float32
+        )
+        locs = ref_points[:, :, None, None, :, :] + offsets / normalizer[None, None, None, :, None, :]
+        locs = locs.reshape(n, k, h, l, p, 3)
+        out = _chunked_dfa3d(v, dpt_dist, spatial_shapes, locs, attn, self.query_chunk)
+        return out
+
+
+class MSDeformableAttention2D(nn.Module):
+    """Plain 2D multi-scale deformable attention (no depth weighting) — the
+    reference's MSDeformableAttention3D used by the non-DFA3D path
+    (deformable_cross_attention.py:119-340)."""
+
+    embed_dims: int = 256
+    num_heads: int = 8
+    num_levels: int = 1
+    num_points: int = 4
+
+    @nn.compact
+    def __call__(self, query, value, ref_points, spatial_shapes):
+        """query: (N, K, C); value: (N, num_value, C);
+        ref_points: (N, K, 1, 2) normalized."""
+        n, k, c = query.shape
+        h, l, p = self.num_heads, self.num_levels, self.num_points
+        v = Linear(c, kernel_init=xavier_uniform_init,
+                   bias_init=nn.initializers.zeros, name="value_proj")(value)
+        v = v.reshape(n, -1, h, c // h)
+        off = Linear(
+            h * l * p * 2,
+            kernel_init=nn.initializers.zeros,
+            bias_init=lambda key, shape, dtype=jnp.float32: jnp.asarray(
+                _uv_offset_bias(h, l, p), dtype
+            ),
+            name="sampling_offsets",
+        )(query).reshape(n, k, h, l, p, 2)
+        attn = Linear(
+            h * l * p, kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros, name="attention_weights",
+        )(query).reshape(n, k, h, l * p)
+        attn = jax.nn.softmax(attn, axis=-1).reshape(n, k, h, l, p)
+        normalizer = jnp.asarray(
+            [[w_, h_] for (h_, w_) in spatial_shapes], jnp.float32
+        )
+        locs = ref_points[:, :, None, None, :, :] + off / normalizer[None, None, None, :, None, :]
+        locs = locs.reshape(n, k, h, l, p, 2)
+        return msda_2d(v, spatial_shapes, locs, attn)
+
+
+class DeformCrossAttention(nn.Module):
+    """Two-stage per-view aggregation + masked-mean / attention inter-view
+    fusion (deformable_cross_attention.py:691-837)."""
+
+    embed_dims: int = 256
+    num_heads: int = 8
+    num_points: int = 4
+    num_levels: int = 1
+    dropout: float = 0.0
+    inter_view_aggregation: str = "attn"
+    query_chunk: int | None = 800
+    use_depth: bool = True  # False -> the reference's non-DFA3D 2D path
+
+    @nn.compact
+    def __call__(
+        self,
+        query,            # (K, C) voxel queries (zeros at init)
+        value,            # (N, num_value, C) flattened camera features
+        dpt_dist,         # (N, num_value, D)
+        ref_cam,          # (N, K, 3) normalized (u, v, d)
+        mask,             # (N, K) visibility
+        spatial_shapes,   # static ((H, W), ...)
+        train: bool = False,
+    ):
+        n, k = mask.shape
+        c = self.embed_dims
+        inp_residual = query
+
+        if self.use_depth:
+            # stage 1 — "geometry": depth-weighted trilinear sample at the
+            # projected point (1 head = full C, 1 point, weight 1).
+            v1 = value.reshape(n, -1, 1, c)
+            locs1 = ref_cam[:, :, None, None, None, :].astype(jnp.float32)
+            attn1 = jnp.ones((n, k, 1, self.num_levels, 1), jnp.float32)
+            queries_per_image = _chunked_dfa3d(
+                v1, dpt_dist, spatial_shapes, locs1, attn1, self.query_chunk
+            )  # (N, K, C)
+
+            # stage 2 — "context": deformable attention around the projection
+            queries = MSDeformableAttention3D(
+                embed_dims=c,
+                num_heads=self.num_heads,
+                num_levels=self.num_levels,
+                num_points=self.num_points,
+                query_chunk=self.query_chunk,
+                name="deformable_attention",
+            )(
+                queries_per_image,
+                value,
+                dpt_dist,
+                ref_cam[:, :, None, :],
+                spatial_shapes,
+            )
+        else:
+            # 2D path (deformable_cross_attention.py:504-688): bilinear
+            # grid-sample stage + plain MSDA stage with residual add.
+            v1 = value.reshape(n, -1, 1, c)
+            locs1 = ref_cam[:, :, None, None, None, :2].astype(jnp.float32)
+            attn1 = jnp.ones((n, k, 1, self.num_levels, 1), jnp.float32)
+            queries_per_image = msda_2d(v1, spatial_shapes, locs1.reshape(
+                n, k, 1, self.num_levels, 1, 2), attn1)
+            queries = MSDeformableAttention2D(
+                embed_dims=c,
+                num_heads=self.num_heads,
+                num_levels=self.num_levels,
+                num_points=self.num_points,
+                name="deformable_attention",
+            )(queries_per_image, value, ref_cam[:, :, None, :2], spatial_shapes)
+            queries = queries + queries_per_image
+
+        # inter-view fusion: masked mean over visible views ...
+        maskf = mask.astype(queries.dtype)[..., None]
+        slots = queries * maskf  # zero out invisible pairs
+        count = mask.sum(axis=0)  # (K,)
+        mean = slots.sum(axis=0) / jnp.maximum(count, 1)[..., None]
+        slots_mean = Linear(
+            c, kernel_init=xavier_uniform_init, bias_init=nn.initializers.zeros,
+            name="output_proj",
+        )(mean)  # (K, C)
+
+        # ... then attention pooling over views (query = mean, keys = views)
+        if self.inter_view_aggregation == "attn":
+            q = slots_mean[None]  # (1, K, C): seq 1, batch K
+            kv = slots  # (N, K, C): seq N, batch K
+            key_padding = ~mask.T  # (K, N)
+            slots_mean = MultiheadAttention(
+                embed_dims=c, num_heads=8, name="attention_pooling"
+            )(q, kv, kv, key_padding)[0]
+
+        output = jnp.where((count > 0)[:, None], slots_mean, 0.0)
+        output = nn.Dropout(self.dropout, deterministic=not train)(output)
+        return output + inp_residual
+
+
+class VoxFormerLayer(nn.Module):
+    """cross_attn -> norm -> ffn -> norm (encoder.py:226-340 with the
+    operation_order of configs/SGCDet_ScanNet.py:50)."""
+
+    embed_dims: int = 256
+    num_heads: int = 8
+    num_points: int = 4
+    num_levels: int = 1
+    ffn_dropout: float = 0.1
+    attn_dropout: float = 0.0
+    query_chunk: int | None = 800
+    use_depth: bool = True
+
+    @nn.compact
+    def __call__(self, query, value, dpt_dist, ref_cam, mask, spatial_shapes, train=False):
+        query = DeformCrossAttention(
+            embed_dims=self.embed_dims,
+            num_heads=self.num_heads,
+            num_points=self.num_points,
+            num_levels=self.num_levels,
+            dropout=self.attn_dropout,
+            query_chunk=self.query_chunk,
+            use_depth=self.use_depth,
+            name="cross_attn",
+        )(query, value, dpt_dist, ref_cam, mask, spatial_shapes, train)
+        query = LayerNorm(name="norm1")(query)
+        query = FFN(
+            self.embed_dims, self.embed_dims * 2, self.ffn_dropout, name="ffn"
+        )(query, train=train)
+        query = LayerNorm(name="norm2")(query)
+        return query
+
+
+class ViewTransformer(nn.Module):
+    """One encoder pass over a set of voxel queries (num_layers=1 in all
+    released configs; transformer.py:115-185)."""
+
+    embed_dims: int = 256
+    num_heads: int = 8
+    num_points: int = 4
+    num_levels: int = 1
+    num_layers: int = 1
+    ffn_dropout: float = 0.1
+    query_chunk: int | None = 800
+    use_depth: bool = True
+
+    @nn.compact
+    def __call__(self, ref_points, origin, projection, feats, dpt_dists, img_shape, dbound, train=False):
+        """
+        ref_points: (K, 3) selected voxel centers (origin-relative)
+        feats: list of (N, C, H_l, W_l) per level; dpt_dists likewise (N, D, H, W)
+        Returns seed features (K, C).
+        """
+        spatial_shapes = tuple((f.shape[2], f.shape[3]) for f in feats)
+        value = jnp.concatenate(
+            [f.reshape(f.shape[0], f.shape[1], -1).transpose(0, 2, 1) for f in feats],
+            axis=1,
+        )  # (N, sum HW, C)
+        dpt = jnp.concatenate(
+            [d.reshape(d.shape[0], d.shape[1], -1).transpose(0, 2, 1) for d in dpt_dists],
+            axis=1,
+        )  # (N, sum HW, D)
+
+        ref_cam, mask = point_sampling(ref_points, origin, projection, img_shape, dbound)
+        query = jnp.zeros((ref_points.shape[0], self.embed_dims), value.dtype)
+        for i in range(self.num_layers):
+            query = VoxFormerLayer(
+                embed_dims=self.embed_dims,
+                num_heads=self.num_heads,
+                num_points=self.num_points,
+                num_levels=self.num_levels,
+                ffn_dropout=self.ffn_dropout,
+                query_chunk=self.query_chunk,
+                use_depth=self.use_depth,
+                name=f"layer{i}",
+            )(query, value, dpt, ref_cam, mask, spatial_shapes, train)
+        return query

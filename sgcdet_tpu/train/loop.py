@@ -1,0 +1,168 @@
+"""Train/eval steps: SPMD data-parallel over a `data` mesh via shard_map.
+
+TPU-native equivalent of the reference's Lightning DDP loop (main.py:64-93,
+pl_model.py:50-57): one scene per device, `lax.pmean` gradient/metric/BN
+reduction over ICI, OneCycle AdamW with grad-clip 35, orbax checkpoints.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..models.detector import SGCDet, compute_losses
+from ..models.layers import set_bn_sync_axis
+from .optim import make_optimizer
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def init_train_state(config, rng, example_scene, query_chunk=800):
+    """Initialize model params + optimizer for a config.
+
+    example_scene: dict with imgs/proj_img/proj_feat4/origin for ONE scene.
+    """
+    model = SGCDet(
+        cfg=config.model, img_shape=config.data.img_shape, query_chunk=query_chunk
+    )
+    variables = jax.jit(
+        functools.partial(model.init, train=False),
+        static_argnames=(),
+    )(
+        {"params": rng},
+        example_scene["imgs"],
+        example_scene["proj_img"],
+        example_scene["proj_feat4"],
+        example_scene["origin"],
+    )
+    tx, labels = make_optimizer(variables["params"], config.train)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+    )
+    return model, state, tx
+
+
+def _scene_loss(model, cfg, params, batch_stats, scene, rng, axis_name):
+    def run(p):
+        outputs, mut = model.apply(
+            {"params": p, "batch_stats": batch_stats},
+            scene["imgs"],
+            scene["proj_img"],
+            scene["proj_feat4"],
+            scene["origin"],
+            gt_depth=scene.get("gt_depth"),
+            train=True,
+            rngs={"dropout": rng},
+            mutable=["batch_stats"],
+        )
+        losses, n_pos = compute_losses(
+            cfg.model,
+            outputs,
+            scene["origin"],
+            scene["gt_boxes"],
+            scene["gt_labels"],
+            scene["gt_mask"],
+            gt_depth=scene.get("gt_depth"),
+            axis_name=axis_name,
+        )
+        total = sum(losses.values())
+        return total, (losses, mut["batch_stats"], n_pos)
+
+    return run
+
+
+def make_train_step(model, config, tx, mesh: Mesh | None = None, axis_name="data"):
+    """Returns step_fn(state, batch, rng) -> (state, metrics).
+
+    With a mesh: shard_map over `axis_name`, one scene per device (the batch
+    leading axis must equal mesh size). Without: single-device, batch size 1.
+    """
+    use_mesh = mesh is not None
+    set_bn_sync_axis(axis_name if use_mesh else None)
+
+    def device_step(state, scene, rng):
+        loss_fn = _scene_loss(
+            model, config, state.params, state.batch_stats, scene, rng,
+            axis_name if use_mesh else None,
+        )
+        (total, (losses, new_stats, n_pos)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        if use_mesh:
+            grads = jax.lax.pmean(grads, axis_name)
+            losses = jax.lax.pmean(losses, axis_name)
+            total = jax.lax.pmean(total, axis_name)
+            new_stats = jax.lax.pmean(new_stats, axis_name)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates
+        )
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+        )
+        metrics = dict(losses)
+        metrics["loss"] = total
+        metrics["n_pos"] = n_pos
+        return new_state, metrics
+
+    if not use_mesh:
+        @jax.jit
+        def step_fn(state, batch, rng):
+            scene = jax.tree_util.tree_map(lambda x: x[0], batch)
+            return device_step(state, scene, rng)
+
+        return step_fn
+
+    state_spec = P()
+    batch_spec = P(axis_name)
+
+    @jax.jit
+    def step_fn(state, batch, rng):
+        def body(state_l, batch_l, rng_l):
+            scene = jax.tree_util.tree_map(lambda x: x[0], batch_l)
+            my_rng = jax.random.fold_in(rng_l, jax.lax.axis_index(axis_name))
+            return device_step(state_l, scene, my_rng)
+
+        return shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(state_spec, batch_spec, state_spec),
+            out_specs=(state_spec, state_spec),
+            check_rep=False,
+        )(state, batch, rng)
+
+    return step_fn
+
+
+def make_eval_step(model, config):
+    """Jitted single-scene inference returning head outputs for host decode."""
+
+    @jax.jit
+    def eval_fn(params, batch_stats, scene):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            scene["imgs"],
+            scene["proj_img"],
+            scene["proj_feat4"],
+            scene["origin"],
+            train=False,
+        )
+
+    return eval_fn

@@ -1,13 +1,17 @@
 """Test config: run everything on a virtual 8-device CPU mesh.
 
-TPU hardware tests are exercised by the driver via bench.py and
-__graft_entry__.py; unit tests must be hermetic and CPU-only.
+This environment force-registers a TPU backend via sitecustomize and presets
+JAX_PLATFORMS=axon, so env vars alone don't stick — the jax.config updates
+below are what actually pin the tests to 8 virtual CPU devices.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_default_matmul_precision", "highest")
