@@ -30,31 +30,34 @@ def main():
     cfg = scannet()
     n_views = 40  # the reference's training view count per scene
     scene = _example_scene(cfg.data.img_shape, cfg.data.pad_size, n_views)
-    model = SGCDet(cfg=cfg.model, img_shape=cfg.data.img_shape, query_chunk=800)
+    model = SGCDet(cfg=cfg.model, img_shape=cfg.data.img_shape, query_chunk=100)
 
     init = jax.jit(lambda r, a, b, c, d: model.init(
         {"params": r}, a, b, c, d, train=False))
     variables = init(jax.random.PRNGKey(0), scene["imgs"], scene["proj_img"],
                      scene["proj_feat4"], scene["origin"])
 
+    import jax.numpy as jnp
+
     @jax.jit
     def fwd(v, imgs, proj_img, proj4, origin):
         out = model.apply(v, imgs, proj_img, proj4, origin, train=False)
-        return out["head_outs"], out["valid"]
+        # reduce on device so the per-iteration host fetch is one scalar
+        checksum = sum(jnp.sum(jnp.abs(x)) for x in jax.tree_util.tree_leaves(out["head_outs"]))
+        return out["head_outs"], out["valid"], checksum
 
     args = (variables, scene["imgs"], scene["proj_img"], scene["proj_feat4"],
             scene["origin"])
-    # warmup / compile
-    jax.block_until_ready(fwd(*args))
+    # warmup / compile; force with a real host fetch (block_until_ready alone
+    # does not reliably wait on the axon-tunnel platform)
+    float(fwd(*args)[2])
 
-    # block every iteration: the axon-tunnel platform returns from dispatch
-    # immediately, so only per-iteration block_until_ready gives real numbers
     n_iters = 5
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        out = fwd(*args)
-        jax.block_until_ready(out)
+        s = float(fwd(*args)[2])
     dt = time.perf_counter() - t0
+    assert np.isfinite(s)
     scenes_per_sec = n_iters / dt
 
     print(json.dumps({

@@ -35,7 +35,7 @@ def parse_args(argv=None):
     p.add_argument("--eval_every_epochs", type=int, default=1)
     p.add_argument("--profile_steps", type=int, default=0,
                    help="capture a jax.profiler trace for N steps")
-    p.add_argument("--query_chunk", type=int, default=800)
+    p.add_argument("--query_chunk", type=int, default=100)
     p.add_argument("--n_views_test", type=int, default=None,
                    help="override eval view count (memory/speed knob)")
     p.add_argument("--num_workers", type=int, default=4)

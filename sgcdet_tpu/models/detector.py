@@ -27,7 +27,7 @@ from .sparse_head import AdaptiveSparseVolume, occ_loss as occ_loss_fn
 class SGCDet(nn.Module):
     cfg: ModelConfig
     img_shape: tuple  # static (H, W) of the resized (pre-pad) image
-    query_chunk: int | None = 800
+    query_chunk: int | None = 100
 
     @nn.compact
     def __call__(self, imgs, proj_img, proj_feat4, origin, gt_depth=None, train=False):

@@ -34,7 +34,7 @@ class AdaptiveSparseVolume(nn.Module):
     num_heads: int = 8
     num_points: int = 4
     ffn_dropout: float = 0.1
-    query_chunk: int | None = 800
+    query_chunk: int | None = 100
 
     @nn.compact
     def __call__(self, mlvl_feats, mlvl_dpt_dists, origin, projection, img_shape, dbound, train=False):

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.msda import dfa3d_attention, msda_2d
+from ..ops.dfa3d_fast import dfa3d_attention_fast
 from .layers import (
     FFN,
     LayerNorm,
@@ -117,22 +118,21 @@ class MSDeformableAttention3D(nn.Module):
     num_heads: int = 8
     num_levels: int = 1
     num_points: int = 4
-    query_chunk: int | None = 800
+    query_chunk: int | None = 100
 
     @nn.compact
-    def __call__(self, query, value, dpt_dist, ref_points, spatial_shapes):
+    def __call__(self, query, value_img, dpt_img, ref_points, spatial_shapes):
         """
-        query: (N, K, C); value: (N, num_value, C); dpt_dist: (N, num_value, D)
-        ref_points: (N, K, 1, 3) normalized; spatial_shapes: static ((H, W),...)
+        query: (N, K, C); value_img: (N, H, W, C); dpt_img: (N, H, W, D)
+        ref_points: (N, K, 1, 3) normalized; spatial_shapes: static ((H, W),)
         Returns (N, K, C).
         """
         n, k, c = query.shape
         h, l, p = self.num_heads, self.num_levels, self.num_points
-        d_dim = dpt_dist.shape[-1]
+        d_dim = dpt_img.shape[-1]
 
-        v = Linear(c, kernel_init=xavier_uniform_init,
-                   bias_init=nn.initializers.zeros, name="value_proj")(value)
-        v = v.reshape(n, -1, h, c // h)
+        v_img = Linear(c, kernel_init=xavier_uniform_init,
+                       bias_init=nn.initializers.zeros, name="value_proj")(value_img)
 
         off_uv = Linear(
             h * l * p * 2,
@@ -166,7 +166,11 @@ class MSDeformableAttention3D(nn.Module):
         )
         locs = ref_points[:, :, None, None, :, :] + offsets / normalizer[None, None, None, :, None, :]
         locs = locs.reshape(n, k, h, l, p, 3)
-        out = _chunked_dfa3d(v, dpt_dist, spatial_shapes, locs, attn, self.query_chunk)
+        # single-level fast path: patch-gather op (l == 1 in every config)
+        out = dfa3d_attention_fast(
+            v_img, dpt_img, locs[:, :, :, 0], attn[:, :, :, 0],
+            num_heads=h, query_chunk=self.query_chunk,
+        )
         return out
 
 
@@ -220,18 +224,18 @@ class DeformCrossAttention(nn.Module):
     num_levels: int = 1
     dropout: float = 0.0
     inter_view_aggregation: str = "attn"
-    query_chunk: int | None = 800
+    query_chunk: int | None = 100
     use_depth: bool = True  # False -> the reference's non-DFA3D 2D path
 
     @nn.compact
     def __call__(
         self,
         query,            # (K, C) voxel queries (zeros at init)
-        value,            # (N, num_value, C) flattened camera features
-        dpt_dist,         # (N, num_value, D)
+        value_img,        # (N, H, W, C) camera features (image layout)
+        dpt_img,          # (N, H, W, D) depth distributions
         ref_cam,          # (N, K, 3) normalized (u, v, d)
         mask,             # (N, K) visibility
-        spatial_shapes,   # static ((H, W), ...)
+        spatial_shapes,   # static ((H, W),)
         train: bool = False,
     ):
         n, k = mask.shape
@@ -241,11 +245,11 @@ class DeformCrossAttention(nn.Module):
         if self.use_depth:
             # stage 1 — "geometry": depth-weighted trilinear sample at the
             # projected point (1 head = full C, 1 point, weight 1).
-            v1 = value.reshape(n, -1, 1, c)
-            locs1 = ref_cam[:, :, None, None, None, :].astype(jnp.float32)
-            attn1 = jnp.ones((n, k, 1, self.num_levels, 1), jnp.float32)
-            queries_per_image = _chunked_dfa3d(
-                v1, dpt_dist, spatial_shapes, locs1, attn1, self.query_chunk
+            locs1 = ref_cam[:, :, None, None, :].astype(jnp.float32)
+            attn1 = jnp.ones((n, k, 1, 1), jnp.float32)
+            queries_per_image = dfa3d_attention_fast(
+                value_img, dpt_img, locs1, attn1, num_heads=1,
+                query_chunk=self.query_chunk,
             )  # (N, K, C)
 
             # stage 2 — "context": deformable attention around the projection
@@ -258,14 +262,15 @@ class DeformCrossAttention(nn.Module):
                 name="deformable_attention",
             )(
                 queries_per_image,
-                value,
-                dpt_dist,
+                value_img,
+                dpt_img,
                 ref_cam[:, :, None, :],
                 spatial_shapes,
             )
         else:
             # 2D path (deformable_cross_attention.py:504-688): bilinear
             # grid-sample stage + plain MSDA stage with residual add.
+            value = value_img.reshape(n, -1, c)
             v1 = value.reshape(n, -1, 1, c)
             locs1 = ref_cam[:, :, None, None, None, :2].astype(jnp.float32)
             attn1 = jnp.ones((n, k, 1, self.num_levels, 1), jnp.float32)
@@ -314,7 +319,7 @@ class VoxFormerLayer(nn.Module):
     num_levels: int = 1
     ffn_dropout: float = 0.1
     attn_dropout: float = 0.0
-    query_chunk: int | None = 800
+    query_chunk: int | None = 100
     use_depth: bool = True
 
     @nn.compact
@@ -347,7 +352,7 @@ class ViewTransformer(nn.Module):
     num_levels: int = 1
     num_layers: int = 1
     ffn_dropout: float = 0.1
-    query_chunk: int | None = 800
+    query_chunk: int | None = 100
     use_depth: bool = True
 
     @nn.compact
@@ -357,18 +362,13 @@ class ViewTransformer(nn.Module):
         feats: list of (N, C, H_l, W_l) per level; dpt_dists likewise (N, D, H, W)
         Returns seed features (K, C).
         """
+        assert len(feats) == 1, "single-level lifting (all released configs)"
         spatial_shapes = tuple((f.shape[2], f.shape[3]) for f in feats)
-        value = jnp.concatenate(
-            [f.reshape(f.shape[0], f.shape[1], -1).transpose(0, 2, 1) for f in feats],
-            axis=1,
-        )  # (N, sum HW, C)
-        dpt = jnp.concatenate(
-            [d.reshape(d.shape[0], d.shape[1], -1).transpose(0, 2, 1) for d in dpt_dists],
-            axis=1,
-        )  # (N, sum HW, D)
+        value_img = jnp.transpose(feats[0], (0, 2, 3, 1))  # (N, H, W, C)
+        dpt_img = jnp.transpose(dpt_dists[0], (0, 2, 3, 1))  # (N, H, W, D)
 
         ref_cam, mask = point_sampling(ref_points, origin, projection, img_shape, dbound)
-        query = jnp.zeros((ref_points.shape[0], self.embed_dims), value.dtype)
+        query = jnp.zeros((ref_points.shape[0], self.embed_dims), value_img.dtype)
         for i in range(self.num_layers):
             query = VoxFormerLayer(
                 embed_dims=self.embed_dims,
@@ -379,5 +379,5 @@ class ViewTransformer(nn.Module):
                 query_chunk=self.query_chunk,
                 use_depth=self.use_depth,
                 name=f"layer{i}",
-            )(query, value, dpt, ref_cam, mask, spatial_shapes, train)
+            )(query, value_img, dpt_img, ref_cam, mask, spatial_shapes, train)
         return query

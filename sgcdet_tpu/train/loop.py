@@ -28,7 +28,7 @@ class TrainState:
     opt_state: Any
 
 
-def init_train_state(config, rng, example_scene, query_chunk=800):
+def init_train_state(config, rng, example_scene, query_chunk=100):
     """Initialize model params + optimizer for a config.
 
     example_scene: dict with imgs/proj_img/proj_feat4/origin for ONE scene.
