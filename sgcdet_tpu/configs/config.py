@@ -107,6 +107,9 @@ class ModelConfig:
     occ_loss: bool = True
     depth_loss: bool = False
     use_gt_dpt: bool = False
+    # 'float32' (reference parity) or 'bfloat16' (TPU performance mode:
+    # convs/linears compute in bf16, BN statistics stay f32)
+    compute_dtype: str = "float32"
     test_cfg: TestConfig = field(default_factory=TestConfig)
 
     @property

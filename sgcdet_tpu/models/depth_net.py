@@ -37,41 +37,61 @@ def get_closest_frame_ids(num_cams: int, num_select: int) -> np.ndarray:
     return closest
 
 
-def homo_warping(src_fea, src_proj, ref_proj, depth_values):
-    """Plane-sweep warp of neighbor features into the reference view.
+def _warp_grid(src_proj, ref_proj, depth_values, h, w):
+    """Plane-sweep sample coordinates.
 
-    src_fea: (N, C, H, W); src_proj/ref_proj: (N, 4, 4) K[R|t] world->img at
-    feature resolution; depth_values: (D,) plane depths.
-    Returns (N, C, D, H, W).
-
-    Reproduces depth_est_fusion.homo_warping:85-126 including its
-    grid-normalization convention (pixel/( (S-1)/2 ) - 1 fed to a
-    grid_sample with align_corners=False, i.e. effective sample position
-    ``p * S/(S-1) - 0.5``).
+    Reproduces depth_est_fusion.homo_warping:85-126's grid convention
+    (pixel/((S-1)/2) - 1 fed to grid_sample(align_corners=False), i.e.
+    effective sample position ``p * S/(S-1) - 0.5``).
+    Returns x_eff, y_eff of shape (N, D, HW).
     """
-    n, c, h, w = src_fea.shape
     d = depth_values.shape[0]
     proj = src_proj @ jnp.linalg.inv(ref_proj)
     rot = proj[:, :3, :3]
     trans = proj[:, :3, 3:4]
-
     ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32), indexing="ij")
     xyz = jnp.stack([xs.ravel(), ys.ravel(), jnp.ones(h * w)], axis=0)  # (3, HW)
     rot_xyz = jnp.einsum("nij,jk->nik", rot, xyz)  # (N, 3, HW)
-    rot_depth_xyz = rot_xyz[:, :, None, :] * depth_values.reshape(1, 1, d, 1)
-    proj_xyz = rot_depth_xyz + trans[:, :, None, :]  # (N, 3, D, HW)
+    proj_xyz = rot_xyz[:, :, None, :] * depth_values.reshape(1, 1, d, 1) + trans[:, :, None, :]
     z = proj_xyz[:, 2]
     px = proj_xyz[:, 0] / z
     py = proj_xyz[:, 1] / z
-    # torch grid normalization (S-1)/2 then grid_sample(align_corners=False)
     x_eff = px * (w / (w - 1)) - 0.5
     y_eff = py * (h / (h - 1)) - 0.5
+    return x_eff, y_eff
 
-    def warp_one(fea, xe, ye):
-        return grid_sample_2d(fea, xe, ye)  # (C, D, HW)
 
-    out = jax.vmap(warp_one)(src_fea, x_eff, y_eff)
+def homo_warping(src_fea, src_proj, ref_proj, depth_values):
+    """Plane-sweep warp of neighbor features into the reference view.
+    src_fea: (N, C, H, W) -> (N, C, D, H, W)."""
+    n, c, h, w = src_fea.shape
+    d = depth_values.shape[0]
+    x_eff, y_eff = _warp_grid(src_proj, ref_proj, depth_values, h, w)
+    out = jax.vmap(grid_sample_2d)(src_fea, x_eff, y_eff)
     return out.reshape(n, c, d, h, w)
+
+
+def plane_sweep_correlation(src_fea, ref_fea, src_proj, ref_proj, depth_values):
+    """Fused warp + dot-product correlation, scanned over depth planes.
+
+    Equivalent to ``(homo_warping(...) * ref_fea[:, :, None]).sum(1)/sqrt(C)``
+    (depth_est_fusion.py:232-237) but never materializes the (N, C, D, H, W)
+    warp — the peak activation is one (N, C, H, W) plane, which keeps the
+    training backward inside HBM.
+    """
+    n, c, h, w = src_fea.shape
+    x_eff, y_eff = _warp_grid(src_proj, ref_proj, depth_values, h, w)
+
+    @jax.checkpoint
+    def one_plane(coords):
+        xe, ye = coords  # (N, HW)
+        warped = jax.vmap(grid_sample_2d)(src_fea, xe, ye)  # (N, C, HW)
+        return (warped * ref_fea.reshape(n, c, -1)).sum(axis=1) / jnp.sqrt(
+            jnp.float32(c)
+        )
+
+    corr = jax.lax.map(one_plane, (x_eff.transpose(1, 0, 2), y_eff.transpose(1, 0, 2)))
+    return corr.transpose(1, 0, 2).reshape(n, -1, h, w)  # (N, D, H, W)
 
 
 class ConvBnReLU2D(nn.Module):
@@ -145,11 +165,8 @@ class DepthNetFusion(nn.Module):
         corr = jnp.zeros((n, d_ch) + f_mvs.shape[2:], f_mvs.dtype)
         for j in range(k):
             nei = neighbor_ids[:, j]
-            nei_fea = f_mvs[nei]
-            nei_proj = proj_feat[nei]
-            warped = homo_warping(nei_fea, nei_proj, proj_feat, depth_values)
-            corr = corr + (warped * f_mvs[:, :, None]).sum(axis=1) / jnp.sqrt(
-                jnp.float32(ch)
+            corr = corr + plane_sweep_correlation(
+                f_mvs[nei], f_mvs, proj_feat[nei], proj_feat, depth_values
             )
         corr = corr / k
 

@@ -18,7 +18,7 @@ from ..configs.config import ModelConfig
 from .depth_net import DepthNetFusion, depth_loss as depth_loss_fn, downsample_gt_depth
 from .det_head import ImVoxelHead, head_loss_single, head_points
 from .fpn import FPN
-from .layers import interpolate_linear, interpolate_nearest_size
+from .layers import interpolate_linear, interpolate_nearest_size, set_compute_dtype
 from .neck3d import FastIndoorImVoxelNeck
 from .resnet import ResNet
 from .sparse_head import AdaptiveSparseVolume, occ_loss as occ_loss_fn
@@ -42,6 +42,7 @@ class SGCDet(nn.Module):
         cls) without batch dim), valid (X, Y, Z), occ_preds, dpt_dist.
         """
         cfg = self.cfg
+        set_compute_dtype(cfg.compute_dtype)
         x = ResNet(depth=50, name="backbone")(imgs, train)
         feats = FPN(out_channels=cfg.embed_dims, name="neck")(x)
 
@@ -53,7 +54,10 @@ class SGCDet(nn.Module):
             dpt_dist = d.reshape(n, h4, w4, cfg.depth_channels).transpose(0, 3, 1, 2)
         else:
             depth_in = jax.lax.stop_gradient(feats[0]) if cfg.depth_loss else feats[0]
-            dpt_dist = DepthNetFusion(
+            # remat: the plane-sweep warps are ~1 GB activations per neighbor;
+            # recompute them in the backward instead of saving
+            DepthNetRemat = nn.remat(DepthNetFusion, static_argnums=(4,))
+            dpt_dist = DepthNetRemat(
                 dbound=cfg.dbound,
                 neighbor_img_num=cfg.neighbor_img_num,
                 mono_channels=cfg.embed_dims,
@@ -92,13 +96,15 @@ class SGCDet(nn.Module):
             head_type=cfg.head_type,
             name="bbox_head",
         )(neck_outs)
-        head_outs = [tuple(o[0] for o in scale) for scale in head_outs_b]
+        head_outs = [
+            tuple(o[0].astype(jnp.float32) for o in scale) for scale in head_outs_b
+        ]
 
         return dict(
             head_outs=head_outs,
-            valid=valid,
-            occ_preds=occ_preds,
-            dpt_dist=dpt_dist,
+            valid=valid.astype(jnp.float32),
+            occ_preds=None if occ_preds is None else occ_preds.astype(jnp.float32),
+            dpt_dist=dpt_dist.astype(jnp.float32),
         )
 
 

@@ -82,6 +82,7 @@ class Conv(nn.Module):
         kernel = self.param(
             "kernel", self.kernel_init, (*ks, in_ch // self.groups, self.features)
         )
+        x, kernel = _maybe_cast(x, kernel)
         dn = jax.lax.conv_dimension_numbers(
             x.shape,
             kernel.shape,
@@ -101,7 +102,7 @@ class Conv(nn.Module):
             fan_in = (in_ch // self.groups) * math.prod(ks)
             b_init = self.bias_init or torch_bias_init(fan_in)
             bias = self.param("bias", b_init, (self.features,))
-            y = y + bias.reshape((1, -1) + (1,) * self.ndim)
+            y = y + _maybe_cast(bias).reshape((1, -1) + (1,) * self.ndim)
         return y
 
 
@@ -127,6 +128,7 @@ class ConvTranspose(nn.Module):
         kernel = self.param(
             "kernel", kaiming_uniform_a5, ((k,) * self.ndim) + (self.features, in_ch)
         )
+        x, kernel = _maybe_cast(x, kernel)
         # conv_transpose as the transpose of a strided conv: lax.conv_transpose
         # with transpose_kernel=True replicates torch's weight convention.
         dn = jax.lax.conv_dimension_numbers(
@@ -148,8 +150,28 @@ class ConvTranspose(nn.Module):
         if self.use_bias:
             fan_in = self.features * (k**self.ndim)
             bias = self.param("bias", torch_bias_init(fan_in), (self.features,))
-            y = y + bias.reshape((1, -1) + (1,) * self.ndim)
+            y = y + _maybe_cast(bias).reshape((1, -1) + (1,) * self.ndim)
         return y
+
+
+# Trace-time knob for reduced-precision compute: set before tracing and every
+# Conv/ConvTranspose/Linear casts activations+kernels to this dtype (BN keeps
+# f32 statistics). The reference trains fp32; bfloat16 is this framework's
+# performance mode (MXU-native on TPU).
+_COMPUTE_DTYPE = {"dtype": None}
+
+
+def set_compute_dtype(dtype):
+    """dtype: None | 'bfloat16' | jnp dtype. None = full f32 (default)."""
+    _COMPUTE_DTYPE["dtype"] = None if dtype in (None, "float32") else jnp.dtype(dtype)
+
+
+def _maybe_cast(*arrays):
+    dt = _COMPUTE_DTYPE["dtype"]
+    if dt is None:
+        return arrays if len(arrays) > 1 else arrays[0]
+    out = tuple(a.astype(dt) if a is not None else None for a in arrays)
+    return out if len(out) > 1 else out[0]
 
 
 # Trace-time knob for SyncBN: set before tracing a shard_map'd train step and
@@ -191,8 +213,9 @@ class BatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
         else:
             axes = (0,) + tuple(range(2, x.ndim))
-            mean = jnp.mean(x, axis=axes)
-            mean2 = jnp.mean(jnp.square(x), axis=axes)
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=axes)
+            mean2 = jnp.mean(jnp.square(xf), axis=axes)
             sync_axis = self.axis_name or _BN_SYNC_AXIS["name"]
             if sync_axis is not None:
                 mean = jax.lax.pmean(mean, sync_axis)
@@ -205,7 +228,8 @@ class BatchNorm(nn.Module):
                 ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
         shape = (1, ch) + (1,) * (x.ndim - 2)
         inv = jax.lax.rsqrt(var + self.epsilon) * scale
-        return x * inv.reshape(shape) + (bias - mean * inv).reshape(shape)
+        out = x.astype(jnp.float32) * inv.reshape(shape) + (bias - mean * inv).reshape(shape)
+        return out.astype(x.dtype)
 
 
 class Linear(nn.Module):
@@ -218,10 +242,11 @@ class Linear(nn.Module):
     def __call__(self, x: Array) -> Array:
         in_f = x.shape[-1]
         kernel = self.param("kernel", self.kernel_init, (in_f, self.features))
+        x, kernel = _maybe_cast(x, kernel)
         y = x @ kernel
         if self.use_bias:
             b_init = self.bias_init or torch_bias_init(in_f)
-            y = y + self.param("bias", b_init, (self.features,))
+            y = y + _maybe_cast(self.param("bias", b_init, (self.features,)))
         return y
 
 

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 
-def _patch_gather(img, y0, x0):
+def _patch_gather_raw(img, y0, x0):
     """Gather (2, 2, C) patches from img (H, W, C) at clipped integer starts."""
     c = img.shape[-1]
     starts = jnp.stack([y0, x0], axis=-1)
@@ -36,6 +36,41 @@ def _patch_gather(img, y0, x0):
         start_index_map=(0, 1),
     )
     return jax.lax.gather(img, starts, dn, slice_sizes=(2, 2, c), mode="clip")
+
+
+@jax.custom_vjp
+def _patch_gather(img, y0, x0):
+    """Patch gather with a hand-written backward.
+
+    The autodiff VJP of a windowed lax.gather is a windowed lax.scatter-add,
+    which lowers to XLA's slow serial scatter path on TPU (~50x slower than
+    needed). The backward here flattens the four patch positions into plain
+    row updates — `.at[rows].add(updates)` hits the fast scatter path
+    (measured 52M rows/s on v5e vs the windowed form's ~0.2M/s).
+    Callers must pass CLIPPED starts (y0 in [0, H-2], x0 in [0, W-2]).
+    """
+    return _patch_gather_raw(img, y0, x0)
+
+
+def _patch_gather_fwd(img, y0, x0):
+    return _patch_gather_raw(img, y0, x0), (y0, x0, img.shape)
+
+
+def _patch_gather_bwd(res, g):
+    y0, x0, shape = res
+    h, w, c = shape
+    m = y0.shape[0]
+    # flat pixel row per patch position (dy, dx); starts are pre-clipped so
+    # every position is in bounds
+    base = y0 * w + x0  # (M,)
+    offs = jnp.asarray([0, 1, w, w + 1], jnp.int32)  # (dy,dx)=(0,0),(0,1),(1,0),(1,1)
+    rows = (base[:, None] + offs[None, :]).reshape(-1)  # (M*4,)
+    upd = g.reshape(m, 2 * 2, c).reshape(m * 4, c)
+    dimg = jnp.zeros((h * w, c), g.dtype).at[rows].add(upd)
+    return dimg.reshape(h, w, c), None, None
+
+
+_patch_gather.defvjp(_patch_gather_fwd, _patch_gather_bwd)
 
 
 def _one_cam_chunk(vd_img, locs, attn, heads, c, d_size):
@@ -145,6 +180,10 @@ def dfa3d_attention_fast(value_img, dpt_img, sampling_locations, attention_weigh
 
     vd = jnp.concatenate([value_img, dpt_img.astype(value_img.dtype)], axis=-1)
 
+    # remat: without it AD saves the gathered patch tensor of EVERY chunk as a
+    # residual (tens of GB across a lax.map); recomputing the gathers in the
+    # backward is far cheaper than spilling them
+    @jax.checkpoint
     def run_chunk(locs, attn):
         # vmap over cameras; gathers for all cameras of one chunk in flight
         return jax.vmap(
