@@ -107,9 +107,11 @@ class ModelConfig:
     occ_loss: bool = True
     depth_loss: bool = False
     use_gt_dpt: bool = False
-    # 'float32' (reference parity) or 'bfloat16' (TPU performance mode:
-    # convs/linears compute in bf16, BN statistics stay f32)
-    compute_dtype: str = "float32"
+    # 'bfloat16' (default; MXU-native — comparable precision class to the
+    # TF32 convs the PyTorch reference effectively runs on GPU, and immune to
+    # the fp16 underflow its force_fp32 guards exist for; BN statistics,
+    # sampling coordinates and losses stay f32) or 'float32' (strict parity)
+    compute_dtype: str = "bfloat16"
     test_cfg: TestConfig = field(default_factory=TestConfig)
 
     @property

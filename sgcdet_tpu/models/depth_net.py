@@ -177,7 +177,9 @@ class DepthNetFusion(nn.Module):
             jnp.concatenate([cost_reg, mono_reg], axis=1), train
         )
         logits = Conv(d_ch, 3, 1, 1, name="depth_reg")(fused)
-        return jax.nn.softmax(logits, axis=1)
+        # depth distributions must sum to exactly 1 (they reweight the value
+        # sampling) — normalize in f32 regardless of the compute dtype
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=1)
 
 
 def downsample_gt_depth(gt_depths, downsample_factor, dbound, depth_channels, max_tol=0):
