@@ -121,9 +121,18 @@ def run_eval(config, model, params, batch_stats, dataset, logger=None, step=0,
         dt_annos.append(dict(boxes_3d=det, scores_3d=scores, labels_3d=labels))
         gt_annos.append(dataset.gt_anno(scene["index"]))
         if show_dir is not None:
-            np.save(Path(show_dir) / f"{i:05d}_boxes.npy", boxes)
-            np.save(Path(show_dir) / f"{i:05d}_scores.npy", scores)
-            np.save(Path(show_dir) / f"{i:05d}_labels.npy", labels)
+            from .utils import dump_show_results
+            from .geometry import DepthBoxes3D as _DB
+
+            gt = dataset.gt_anno(scene["index"])
+            gt_boxes = _DB(
+                gt["gt_boxes_upright_depth"],
+                box_dim=gt["gt_boxes_upright_depth"].shape[-1]
+                if gt["gt_num"] else 7,
+                with_yaw=gt["gt_boxes_upright_depth"].shape[-1] == 7,
+                origin=(0.5, 0.5, 0.5),
+            ) if gt["gt_num"] else None
+            dump_show_results(show_dir, f"{i:05d}", det, scores, labels, gt_boxes)
     label2cat = dict(enumerate(config.data.classes))
     ret = indoor_eval(gt_annos, dt_annos, [0.25, 0.5], label2cat)
     if logger is not None:

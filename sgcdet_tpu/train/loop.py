@@ -166,3 +166,30 @@ def make_eval_step(model, config):
         )
 
     return eval_fn
+
+
+def make_view_sharded_eval_step(model, config, mesh, axis_name="view"):
+    """Single-scene inference sharded over the CAMERA axis of the mesh.
+
+    The reference's scaling axis is the number of views (40 train / 100 test,
+    SURVEY.md §5) — here the per-view trunk (backbone/FPN/depth) runs fully
+    parallel across devices and GSPMD inserts the collectives at the two
+    cross-view points: the plane-sweep neighbor gather (halo exchange between
+    adjacent shards) and the inter-view fusion (sum/attention over cameras).
+    Scene view count must be divisible by the mesh axis size.
+    """
+    view_sharding = NamedSharding(mesh, P(axis_name))
+    repl = NamedSharding(mesh, P())
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(repl, repl, view_sharding, view_sharding, view_sharding, repl),
+        out_shardings=repl,
+    )
+    def eval_fn(params, batch_stats, imgs, proj_img, proj_feat4, origin):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            imgs, proj_img, proj_feat4, origin, train=False,
+        )
+
+    return eval_fn
