@@ -102,8 +102,17 @@ def run_eval(config, model, params, batch_stats, dataset, logger=None, step=0,
 
     eval_fn = make_eval_step(model, config)
     dt_annos, gt_annos = [], []
+
+    # prefetch scene decode (JPEG-bound on host) behind device compute
+    import concurrent.futures as cf
+
+    pool = cf.ThreadPoolExecutor(max_workers=2)
+    futures = {i: pool.submit(dataset.__getitem__, i) for i in range(min(2, len(dataset)))}
     for i in range(len(dataset)):
-        scene = dataset[i]
+        scene = futures.pop(i).result()
+        nxt = i + 2
+        if nxt < len(dataset) and nxt not in futures:
+            futures[nxt] = pool.submit(dataset.__getitem__, nxt)
         scene_dev = {
             k: scene[k] for k in ("imgs", "proj_img", "proj_feat4", "origin")
         }

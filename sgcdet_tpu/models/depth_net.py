@@ -23,6 +23,33 @@ from .layers import BatchNorm, Conv, ConvTranspose, grid_sample_2d
 from .resnet import ResNetFPNMatching
 
 
+def knn_indices(x, ref, k, maskself=False):
+    """Top-k nearest refs per source point by squared distance.
+
+    x: (B, C, num_src); ref: (B, C, num_ref) — matches the reference's knn
+    (depth_est_fusion.py:11-32). Returns (B, num_src, k) int indices.
+    """
+    inner = -2 * jnp.einsum("bcs,bcr->bsr", x, ref)
+    xx = jnp.sum(x**2, axis=1)[:, :, None]
+    yy = jnp.sum(ref**2, axis=1)[:, None, :]
+    dist = -yy - inner - xx  # negative squared distance
+    if maskself:
+        n = x.shape[2]
+        eye = jnp.eye(n, dtype=bool)
+        dist = jnp.where(eye[None], -100000.0, dist)
+    return jax.lax.top_k(dist, k)[1]
+
+
+def get_nearest_pose_ids(tar_pose, ref_poses, num_select, maskself=False):
+    """Pose-distance neighbor selection (the reference's alternative to
+    temporal adjacency, depth_est_fusion.py:35-50). Poses are c2w (N, 4, 4)."""
+    num_cams = ref_poses.shape[0]
+    num_select = min(num_select, num_cams - 1)
+    tar = tar_pose[:, :3, 3].T[None]  # (1, 3, N)
+    ref = ref_poses[:, :3, 3].T[None]
+    return knn_indices(tar, ref, num_select, maskself=maskself)[0]
+
+
 def get_closest_frame_ids(num_cams: int, num_select: int) -> np.ndarray:
     """Temporally-adjacent neighbor ids, matching depth_est_fusion.py:53-64
     (boundary rows are shifted inward by k/2+1)."""
