@@ -13,7 +13,6 @@ static GT set (gt_mask marks real boxes) so the whole train step jits; decode
 """
 from __future__ import annotations
 
-from typing import Sequence
 
 import numpy as np
 import jax

@@ -8,7 +8,6 @@ device mesh; BatchNorm layers sync via `axis_name` (the reference's SyncBN).
 """
 from __future__ import annotations
 
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -18,8 +18,8 @@ deformable_cross_attention.py:343-501,691-837) as a *masked-dense* TPU module:
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Sequence
+
+
 
 import numpy as np
 import jax

@@ -33,7 +33,6 @@ shape-static under jit.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

@@ -8,12 +8,10 @@ framework's flax param tree so released checkpoints evaluate directly.
 """
 from __future__ import annotations
 
-import re
 from typing import Any, Mapping
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 try:
     import orbax.checkpoint as ocp

@@ -6,7 +6,6 @@ main.py:71-72 (gradient_clip_val=35), configs/*:optimizer/lr_scheduler.
 """
 from __future__ import annotations
 
-import math
 
 import jax
 import jax.numpy as jnp

@@ -15,3 +15,17 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
+
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _reset_compute_dtype():
+    """The compute-dtype knob is trace-time global (SGCDet sets it from its
+    config on every trace); reset between tests so a bf16 model test doesn't
+    leak into f32 layer-parity tests."""
+    from sgcdet_tpu.models.layers import set_compute_dtype
+
+    set_compute_dtype(None)
+    yield
+    set_compute_dtype(None)
