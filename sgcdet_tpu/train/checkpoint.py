@@ -178,14 +178,14 @@ def convert_torch_state_dict(state_dict: Mapping[str, Any], params, batch_stats,
                     _conv(params, f"{fp}/downsample_conv", sd, f"{tp}.downsample.0")
                     _bn(params, stats, f"{fp}/bn3", sd, f"{tp}.bn3")
         _conv(params, f"{dp}/final_conv", sd, "depth_head.fnet_mvs.final_conv_3ddet")
-        _convert_unet(params, stats, sd, "depth_head.correlation_regulation",
-                      "depth_head/correlation_regulation", used)
+    for unet in ("correlation_regulation", "mono_regulation", "fusion_regulation"):
+        if f"depth_head.{unet}.conv1.conv.weight" in sd:
+            _convert_unet(params, stats, sd, f"depth_head.{unet}",
+                          f"depth_head/{unet}", used)
+    if "depth_head.fnet_mono.conv.weight" in sd:
         _conv(params, "depth_head/fnet_mono/conv", sd, "depth_head.fnet_mono.conv")
         _bn(params, stats, "depth_head/fnet_mono/bn", sd, "depth_head.fnet_mono.bn")
-        _convert_unet(params, stats, sd, "depth_head.mono_regulation",
-                      "depth_head/mono_regulation", used)
-        _convert_unet(params, stats, sd, "depth_head.fusion_regulation",
-                      "depth_head/fusion_regulation", used)
+    if "depth_head.depth_reg.weight" in sd:
         _conv(params, "depth_head/depth_reg", sd, "depth_head.depth_reg")
 
     # ---- voxel head: per-level transformers + occupancy heads ----
