@@ -106,16 +106,18 @@ def plane_sweep_correlation(src_fea, ref_fea, src_proj, ref_proj, depth_values):
     warp — the peak activation is one (N, C, H, W) plane, which keeps the
     training backward inside HBM.
     """
+    from ..ops.dfa3d_fast import bilinear_sample_patch
+
     n, c, h, w = src_fea.shape
     x_eff, y_eff = _warp_grid(src_proj, ref_proj, depth_values, h, w)
+    src_img = jnp.transpose(src_fea, (0, 2, 3, 1))  # (N, H, W, C)
+    ref_flat = jnp.transpose(ref_fea.reshape(n, c, -1), (0, 2, 1))  # (N, HW, C)
 
     @jax.checkpoint
     def one_plane(coords):
         xe, ye = coords  # (N, HW)
-        warped = jax.vmap(grid_sample_2d)(src_fea, xe, ye)  # (N, C, HW)
-        return (warped * ref_fea.reshape(n, c, -1)).sum(axis=1) / jnp.sqrt(
-            jnp.float32(c)
-        )
+        warped = jax.vmap(bilinear_sample_patch)(src_img, xe, ye)  # (N, HW, C)
+        return (warped * ref_flat).sum(axis=-1) / jnp.sqrt(jnp.float32(c))
 
     corr = jax.lax.map(one_plane, (x_eff.transpose(1, 0, 2), y_eff.transpose(1, 0, 2)))
     return corr.transpose(1, 0, 2).reshape(n, -1, h, w)  # (N, D, H, W)

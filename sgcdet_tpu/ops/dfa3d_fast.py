@@ -156,6 +156,43 @@ def _one_cam_chunk(vd_img, locs, attn, heads, c, d_size):
     return out.reshape(kc, heads * c)
 
 
+def bilinear_sample_patch(img, x, y):
+    """Bilinear sample img (H, W, C) at pixel coords x, y (M,) — zero padding.
+
+    Same semantics as layers.grid_sample_2d but via one (2,2,C) patch gather
+    per sample (half the descriptors) and the fast row-scatter custom VJP
+    (the take-based sampler's autodiff backward hits XLA's slow scatter).
+    Returns (M, C).
+    """
+    h, w, c = img.shape
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    lx = x - x0f
+    ly = y - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    vx = jnp.stack([(x0 >= 0) & (x0 <= w - 1), (x0 + 1 >= 0) & (x0 + 1 <= w - 1)], -1)
+    vy = jnp.stack([(y0 >= 0) & (y0 <= h - 1), (y0 + 1 >= 0) & (y0 + 1 <= h - 1)], -1)
+    wy = jnp.stack([1 - ly, ly], -1)
+    wx = jnp.stack([1 - lx, lx], -1)
+    w_corner = (
+        wy[:, :, None] * wx[:, None, :]
+        * (vy[:, :, None] & vx[:, None, :]).astype(img.dtype)
+    ).reshape(-1, 4)
+
+    sy = jnp.clip(y0, 0, h - 2)
+    sx = jnp.clip(x0, 0, w - 2)
+    g = _patch_gather(img, sy, sx).reshape(-1, 4, c)
+    dyg = jnp.arange(2).reshape(2, 1)
+    dxg = jnp.arange(2).reshape(1, 2)
+    py = jnp.clip(dyg[None] + (y0 - sy)[:, None, None], 0, 1)
+    px = jnp.clip(dxg[None] + (x0 - sx)[:, None, None], 0, 1)
+    flat_corner = (py * 2 + px).reshape(-1, 4)
+    pos_onehot = (flat_corner[:, :, None] == jnp.arange(4)[None, None, :]).astype(img.dtype)
+    w_pos = jnp.einsum("mc,mcq->mq", w_corner, pos_onehot)
+    return jnp.einsum("mq,mqc->mc", w_pos, g)
+
+
 def dfa3d_attention_fast(value_img, dpt_img, sampling_locations, attention_weights,
                          num_heads, query_chunk=None):
     """Fused depth-weighted deformable attention, image-layout operands.
