@@ -316,8 +316,10 @@ def decode_bboxes(head_outs, valid, origin, voxel_size, cfg):
     head_outs: per-scale (centerness (1,...), bbox_pred (R,...), cls (nc,...))
       NumPy arrays; valid: (X, Y, Z) float; origin: (3,).
     Returns (boxes (M, 6|7), scores (M,), labels (M,)) NumPy.
-    ScanNet boxes are (cx, cy, cz_bottom-center?, ...) — center form with
-    z at box center, matching DepthBoxes3D(origin=(.5,.5,.5)) construction.
+    ScanNet boxes are returned as (cx, cy, cz, dx, dy, dz) with z at the
+    *geometric center* — callers construct DepthBoxes3D(..., origin=(.5,.5,.5))
+    which shifts z down to the stored bottom-center convention, exactly
+    matching the reference decode (imvoxel_head_v2.py:445-453).
     """
     yawed = cfg.head_type == "sunrgbd"
     t = cfg.test_cfg

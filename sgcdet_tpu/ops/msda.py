@@ -1,8 +1,8 @@
 """Multi-scale deformable sampling ops — pure-jnp reference implementations.
 
-These define the *semantics* (and serve as the autodiff-correct reference for
-the Pallas kernels in ``dfa3d_pallas.py``) of the two device ops the reference
-implements in CUDA:
+These define the *semantics* (and serve as the autodiff-correct oracle for
+the TPU-fast implementations in ``dfa3d_fast.py``) of the two device ops the
+reference implements in CUDA:
 
 * 2D multi-scale deformable attention (mmcv ``ms_deform_attn``), used by
   ``Grid_Sample_2D_Feature`` / ``MSDeformableAttention3D``
