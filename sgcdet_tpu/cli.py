@@ -31,6 +31,12 @@ def parse_args(argv=None):
     p.add_argument("--ckpt_path", default=None, help="orbax checkpoint to eval")
     p.add_argument("--load_from", default=None,
                    help="warm start: orbax dir or released torch .ckpt/.pth")
+    p.add_argument("--pretrained_backbone", default=None,
+                   help="torchvision resnet50 .pth for ImageNet backbone init "
+                        "(configs/SGCDet_ScanNet.py:76)")
+    p.add_argument("--pretrained_matching", default=None,
+                   help="torchvision resnet18 .pth for the matching extractor "
+                        "(extractor_matching.py:56-66)")
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--eval_every_epochs", type=int, default=1)
     p.add_argument("--profile_steps", type=int, default=0,
@@ -195,6 +201,16 @@ def main(argv=None):
         config, jax.random.PRNGKey(args.seed), example_scene,
         query_chunk=args.query_chunk,
     )
+
+    if args.pretrained_backbone or args.pretrained_matching:
+        from .train.checkpoint import load_torchvision_pretrained
+
+        params, stats = load_torchvision_pretrained(
+            state.params, state.batch_stats,
+            backbone_path=args.pretrained_backbone,
+            matching_path=args.pretrained_matching,
+        )
+        state = state.replace(params=params, batch_stats=stats)
 
     if args.load_from:
         if args.load_from.endswith((".ckpt", ".pth")):

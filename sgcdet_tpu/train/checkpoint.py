@@ -177,7 +177,8 @@ def convert_torch_state_dict(state_dict: Mapping[str, Any], params, batch_stats,
                 if f"{tp}.downsample.0.weight" in sd:
                     _conv(params, f"{fp}/downsample_conv", sd, f"{tp}.downsample.0")
                     _bn(params, stats, f"{fp}/bn3", sd, f"{tp}.bn3")
-        _conv(params, f"{dp}/final_conv", sd, "depth_head.fnet_mvs.final_conv_3ddet")
+        if "depth_head.fnet_mvs.final_conv_3ddet.weight" in sd:
+            _conv(params, f"{dp}/final_conv", sd, "depth_head.fnet_mvs.final_conv_3ddet")
     for unet in ("correlation_regulation", "mono_regulation", "fusion_regulation"):
         if f"depth_head.{unet}.conv1.conv.weight" in sd:
             _convert_unet(params, stats, sd, f"depth_head.{unet}",
@@ -261,6 +262,61 @@ def convert_torch_state_dict(state_dict: Mapping[str, Any], params, batch_stats,
                 _set(params, f"bbox_head/scale{i}", np.asarray(sd[key]).reshape(()))
 
     return params, stats
+
+
+def convert_torchvision_pretrained(params, batch_stats, backbone_sd=None,
+                                   matching_sd=None):
+    """ImageNet warm start from *plain torchvision* state dicts.
+
+    Mirrors the reference's from-scratch initialization:
+    * backbone: ``torchvision://resnet50`` (configs/SGCDet_ScanNet.py:76) —
+      mmdet's ResNet uses torchvision naming, so keys are re-prefixed with
+      ``backbone.`` and fed through the SGCDet converter.
+    * matching extractor: torchvision resnet18 conv1+layer1+layer2
+      (extractor_matching.py:56-66). The reference's custom BasicBlock
+      registers the downsample BN both as ``bn3`` and ``downsample.1``
+      (layer_matching.py:120-127), so the torchvision ``downsample.1`` keys
+      are aliased to ``bn3`` here. ``final_conv_3ddet`` stays random-init,
+      as in the reference.
+
+    Either dict may be None to convert only one side. Returns new
+    (params, batch_stats) trees.
+    """
+    sd = {}
+    if backbone_sd is not None:
+        sd.update({
+            f"backbone.{k}": v for k, v in backbone_sd.items()
+            if not k.startswith("fc.")
+        })
+    if matching_sd is not None:
+        for k, v in matching_sd.items():
+            if not k.startswith(("conv1.", "bn1.", "layer1.", "layer2.")):
+                continue
+            sd[f"depth_head.fnet_mvs.{k}"] = v
+            if ".downsample.1." in k:
+                alias = k.replace(".downsample.1.", ".bn3.")
+                sd[f"depth_head.fnet_mvs.{alias}"] = v
+    return convert_torch_state_dict(sd, params, batch_stats)
+
+
+def load_torchvision_pretrained(params, batch_stats, backbone_path=None,
+                                matching_path=None):
+    """Load torchvision resnet50/resnet18 .pth files and warm-start."""
+    import torch
+
+    def _load(path):
+        if path is None:
+            return None
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+        sd = sd.get("state_dict", sd) if isinstance(sd, dict) else sd
+        return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+                for k, v in sd.items()}
+
+    return convert_torchvision_pretrained(
+        params, batch_stats,
+        backbone_sd=_load(backbone_path),
+        matching_sd=_load(matching_path),
+    )
 
 
 def strip_lightning_prefix(state_dict):

@@ -241,3 +241,110 @@ def test_converter_transformer_and_depth_families(tiny_variables):
     np.testing.assert_allclose(
         new_s["depth_head"]["fnet_mono"]["bn"]["mean"],
         sd["depth_head.fnet_mono.bn.running_mean"])
+
+
+def test_torchvision_pretrained_conversion(tiny_variables):
+    """ImageNet warm start: plain torchvision resnet50 (backbone) + resnet18
+    (matching extractor) dicts, incl. the downsample.1 -> bn3 alias and
+    ignoring fc./num_batches_tracked junk (extractor_matching.py:56-66)."""
+    from sgcdet_tpu.train.checkpoint import convert_torchvision_pretrained
+
+    cfg, variables = tiny_variables
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    stats = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+    rng = np.random.RandomState(3)
+
+    def conv_t(k):
+        return np.transpose(np.asarray(k), (3, 2, 0, 1))
+
+    # --- torchvision-style resnet50 dict generated from the flax shapes ---
+    backbone_sd = {"fc.weight": rng.randn(1000, 8).astype(np.float32),
+                   "fc.bias": rng.randn(1000).astype(np.float32)}
+
+    def emit_bn(tp, shape):
+        for tn in ("weight", "bias", "running_mean", "running_var"):
+            backbone_sd[f"{tp}.{tn}"] = rng.rand(*shape).astype(np.float32) + 0.1
+        backbone_sd[f"{tp}.num_batches_tracked"] = np.asarray(7, np.int64)
+
+    bb = params["backbone"]
+    backbone_sd["conv1.weight"] = rng.randn(*conv_t(bb["conv1"]["kernel"]).shape).astype(np.float32)
+    emit_bn("bn1", stats["backbone"]["bn1"]["mean"].shape)
+    for name, node in bb.items():
+        if "_" not in name or not name.startswith("layer"):
+            continue
+        s, b = name.replace("layer", "").split("_")
+        tp = f"layer{s}.{b}"
+        for i in (1, 2, 3):
+            if f"conv{i}" in node:
+                backbone_sd[f"{tp}.conv{i}.weight"] = rng.randn(
+                    *conv_t(node[f"conv{i}"]["kernel"]).shape).astype(np.float32)
+                emit_bn(f"{tp}.bn{i}", stats["backbone"][name][f"bn{i}"]["mean"].shape)
+        if "downsample_conv" in node:
+            backbone_sd[f"{tp}.downsample.0.weight"] = rng.randn(
+                *conv_t(node["downsample_conv"]["kernel"]).shape).astype(np.float32)
+            emit_bn(f"{tp}.downsample.1",
+                    stats["backbone"][name]["downsample_bn"]["mean"].shape)
+
+    # --- torchvision-style resnet18 dict for the matching extractor ---
+    matching_sd = {"fc.weight": rng.randn(1000, 8).astype(np.float32)}
+    fm = params["depth_head"]["fnet_mvs"]
+    fs = stats["depth_head"]["fnet_mvs"]
+    matching_sd["conv1.weight"] = rng.randn(*conv_t(fm["conv1"]["kernel"]).shape).astype(np.float32)
+    for tn, fn in (("weight", "scale"), ("bias", "bias")):
+        matching_sd[f"bn1.{tn}"] = rng.randn(*fm["bn1"][fn].shape).astype(np.float32)
+    for tn, fn in (("running_mean", "mean"), ("running_var", "var")):
+        matching_sd[f"bn1.{tn}"] = rng.rand(*fs["bn1"][fn].shape).astype(np.float32) + 0.1
+    for lname in ("layer1", "layer2"):
+        for b in (0, 1):
+            node = fm[f"{lname}_{b}"]
+            snode = fs[f"{lname}_{b}"]
+            tp = f"{lname}.{b}"
+            for i in (1, 2):
+                matching_sd[f"{tp}.conv{i}.weight"] = rng.randn(
+                    *conv_t(node[f"conv{i}"]["kernel"]).shape).astype(np.float32)
+                for tn, fn in (("weight", "scale"), ("bias", "bias")):
+                    matching_sd[f"{tp}.bn{i}.{tn}"] = rng.randn(
+                        *node[f"bn{i}"][fn].shape).astype(np.float32)
+                for tn, fn in (("running_mean", "mean"), ("running_var", "var")):
+                    matching_sd[f"{tp}.bn{i}.{tn}"] = rng.rand(
+                        *snode[f"bn{i}"][fn].shape).astype(np.float32) + 0.1
+            if "downsample_conv" in node:
+                matching_sd[f"{tp}.downsample.0.weight"] = rng.randn(
+                    *conv_t(node["downsample_conv"]["kernel"]).shape).astype(np.float32)
+                # torchvision names the downsample BN downsample.1 — the
+                # converter must alias it onto the reference's bn3 slot
+                for tn, fn in (("weight", "scale"), ("bias", "bias")):
+                    matching_sd[f"{tp}.downsample.1.{tn}"] = rng.randn(
+                        *node["bn3"][fn].shape).astype(np.float32)
+                for tn, fn in (("running_mean", "mean"), ("running_var", "var")):
+                    matching_sd[f"{tp}.downsample.1.{tn}"] = rng.rand(
+                        *snode["bn3"][fn].shape).astype(np.float32) + 0.1
+
+    new_p, new_s = convert_torchvision_pretrained(
+        params, stats, backbone_sd=backbone_sd, matching_sd=matching_sd)
+
+    np.testing.assert_allclose(
+        new_p["backbone"]["conv1"]["kernel"],
+        np.transpose(backbone_sd["conv1.weight"], (2, 3, 1, 0)))
+    np.testing.assert_allclose(
+        new_s["backbone"]["bn1"]["var"], backbone_sd["bn1.running_var"])
+    np.testing.assert_allclose(
+        new_p["depth_head"]["fnet_mvs"]["conv1"]["kernel"],
+        np.transpose(matching_sd["conv1.weight"], (2, 3, 1, 0)))
+    np.testing.assert_allclose(
+        new_p["depth_head"]["fnet_mvs"]["layer2_0"]["bn3"]["scale"],
+        matching_sd["layer2.0.downsample.1.weight"])
+    np.testing.assert_allclose(
+        new_s["depth_head"]["fnet_mvs"]["layer2_0"]["bn3"]["mean"],
+        matching_sd["layer2.0.downsample.1.running_mean"])
+    # final_conv_3ddet stays random-init (absent from torchvision dicts)
+    np.testing.assert_allclose(
+        new_p["depth_head"]["fnet_mvs"]["final_conv"]["kernel"],
+        fm["final_conv"]["kernel"])
+    # every backbone layer got overwritten
+    changed = sum(
+        1 for (pa, old), (_, new) in zip(
+            jax.tree_util.tree_flatten_with_path(params["backbone"])[0],
+            jax.tree_util.tree_flatten_with_path(new_p["backbone"])[0])
+        if np.ndim(old) and not np.allclose(old, new))
+    assert changed > 100
