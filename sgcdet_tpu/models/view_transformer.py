@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.msda import dfa3d_attention, msda_2d
-from ..ops.dfa3d_fast import dfa3d_attention_fast
+from ..ops.dfa3d import dfa3d_attend
 from .layers import (
     FFN,
     LayerNorm,
@@ -166,8 +166,8 @@ class MSDeformableAttention3D(nn.Module):
         )
         locs = ref_points[:, :, None, None, :, :] + offsets / normalizer[None, None, None, :, None, :]
         locs = locs.reshape(n, k, h, l, p, 3)
-        # single-level fast path: patch-gather op (l == 1 in every config)
-        out = dfa3d_attention_fast(
+        # single-level fast path: Pallas kernel on TPU, patch-gather on CPU
+        out = dfa3d_attend(
             v_img, dpt_img, locs[:, :, :, 0], attn[:, :, :, 0],
             num_heads=h, query_chunk=self.query_chunk,
         )
@@ -247,7 +247,7 @@ class DeformCrossAttention(nn.Module):
             # projected point (1 head = full C, 1 point, weight 1).
             locs1 = ref_cam[:, :, None, None, :].astype(jnp.float32)
             attn1 = jnp.ones((n, k, 1, 1), jnp.float32)
-            queries_per_image = dfa3d_attention_fast(
+            queries_per_image = dfa3d_attend(
                 value_img, dpt_img, locs1, attn1, num_heads=1,
                 query_chunk=self.query_chunk,
             )  # (N, K, C)

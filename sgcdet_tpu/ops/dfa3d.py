@@ -1,0 +1,47 @@
+"""Backend dispatch for the fused DFA3D sampling op.
+
+Picks the Pallas TPU kernel (``dfa3d_pallas.py``) when running on TPU
+hardware and the XLA patch-gather formulation (``dfa3d_fast.py``) elsewhere
+(CPU tests, virtual-device multichip dryruns).  Both implement identical
+semantics — the jnp oracle in ``msda.dfa3d_attention`` is the spec; see
+tests/test_dfa3d_fast.py and tests/test_dfa3d_pallas.py.
+"""
+from __future__ import annotations
+
+import jax
+
+from .dfa3d_fast import dfa3d_attention_fast
+from .dfa3d_pallas import dfa3d_attention_pallas
+
+# None = auto-detect; True/False force the Pallas kernel on/off (tests, bench)
+_FORCE_PALLAS: bool | None = None
+
+
+def set_pallas_enabled(value: bool | None) -> None:
+    global _FORCE_PALLAS
+    _FORCE_PALLAS = value
+
+
+def pallas_available() -> bool:
+    if _FORCE_PALLAS is not None:
+        return _FORCE_PALLAS
+    try:
+        dev = jax.devices()[0]
+    except Exception:  # pragma: no cover - no backend at all
+        return False
+    return "TPU" in (getattr(dev, "device_kind", "") or "").upper() or (
+        dev.platform == "tpu"
+    )
+
+
+def dfa3d_attend(value_img, dpt_img, sampling_locations, attention_weights,
+                 num_heads, query_chunk=None):
+    """Fused depth-weighted deformable attention; see dfa3d_fast for shapes."""
+    if pallas_available():
+        return dfa3d_attention_pallas(
+            value_img, dpt_img, sampling_locations, attention_weights, num_heads
+        )
+    return dfa3d_attention_fast(
+        value_img, dpt_img, sampling_locations, attention_weights, num_heads,
+        query_chunk,
+    )

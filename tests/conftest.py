@@ -6,15 +6,20 @@ below are what actually pin the tests to 8 virtual CPU devices.
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+_USE_TPU = os.environ.get("SGCDET_TEST_TPU", "") == "1"
+
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
-jax.config.update("jax_default_matmul_precision", "highest")
+if not _USE_TPU:
+    # run everything on a virtual 8-device CPU mesh
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+    jax.config.update("jax_default_matmul_precision", "highest")
 
 import pytest
 

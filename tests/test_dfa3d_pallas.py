@@ -1,0 +1,101 @@
+"""Pallas DFA3D kernel vs the jnp oracle (TPU-only; skipped on CPU).
+
+The CPU test suite runs the XLA patch-gather path (tests/test_dfa3d_fast.py);
+this file exercises the Mosaic kernel itself and must run on real TPU
+hardware:  JAX_PLATFORMS=axon python -m pytest tests/test_dfa3d_pallas.py
+(mirrors the reference's CUDA-gated tests, e.g.
+/root/reference/packages/mmdetection3d/tests/test_metrics/test_indoor_eval.py:10).
+"""
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sgcdet_tpu.ops.msda import dfa3d_attention
+
+on_tpu = "TPU" in (getattr(jax.devices()[0], "device_kind", "") or "").upper()
+pytestmark = pytest.mark.skipif(not on_tpu, reason="Pallas kernel needs TPU")
+
+
+def _case(n, h, w, k, heads, c, p, d, seed=0):
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    value_img = jax.random.normal(k1, (n, h, w, heads * c), jnp.float32)
+    dpt_img = jax.nn.softmax(jax.random.normal(k2, (n, h, w, d)), axis=-1)
+    locs = jax.random.uniform(k3, (n, k, heads, p, 3), minval=-0.15, maxval=1.15)
+    attn = jax.nn.softmax(jax.random.normal(k4, (n, k, heads, p)), axis=-1)
+    return value_img, dpt_img, locs, attn
+
+
+@pytest.mark.parametrize(
+    "n,h,w,k,heads,c,p,d",
+    [
+        (2, 8, 10, 24, 2, 8, 2, 5),       # generic small
+        (3, 15, 20, 40, 1, 64, 1, 12),    # stage-1 shape (heads=1, P=1)
+        (2, 30, 40, 320, 8, 32, 4, 12),   # stage-2 shape
+    ],
+)
+def test_forward_matches_oracle(n, h, w, k, heads, c, p, d):
+    from sgcdet_tpu.ops.dfa3d_pallas import dfa3d_attention_pallas
+
+    value_img, dpt_img, locs, attn = _case(n, h, w, k, heads, c, p, d)
+    ref, _ = dfa3d_attention(
+        value_img.reshape(n, h * w, heads, c),
+        dpt_img.reshape(n, h * w, d),
+        ((h, w),),
+        locs[:, :, :, None],
+        attn[:, :, :, None],
+    )
+    out = dfa3d_attention_pallas(value_img, dpt_img, locs, attn, heads)
+    scale = max(float(jnp.abs(ref).max()), 1.0)
+    assert float(jnp.abs(out - ref).max()) < 2e-5 * scale
+
+
+@pytest.mark.parametrize(
+    "n,h,w,k,heads,c,p,d",
+    [
+        (2, 8, 10, 24, 2, 8, 2, 5),
+        (2, 15, 20, 64, 1, 64, 1, 12),
+        (2, 30, 40, 320, 8, 32, 4, 12),
+    ],
+)
+def test_grads_match_oracle(n, h, w, k, heads, c, p, d):
+    from sgcdet_tpu.ops.dfa3d_pallas import dfa3d_attention_pallas
+
+    value_img, dpt_img, locs, attn = _case(n, h, w, k, heads, c, p, d)
+    cos_w = jnp.cos(jnp.arange(n * k * heads * c, dtype=jnp.float32)).reshape(
+        n, k, heads * c
+    )
+
+    def loss_ref(vi, di, lo, at):
+        o, _ = dfa3d_attention(
+            vi.reshape(n, h * w, heads, c), di.reshape(n, h * w, d),
+            ((h, w),), lo[:, :, :, None], at[:, :, :, None],
+        )
+        return jnp.sum(o * cos_w)
+
+    def loss_pal(vi, di, lo, at):
+        return jnp.sum(dfa3d_attention_pallas(vi, di, lo, at, heads) * cos_w)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(value_img, dpt_img, locs, attn)
+    gp = jax.grad(loss_pal, argnums=(0, 1, 2, 3))(value_img, dpt_img, locs, attn)
+    for name, a, b in zip(["d_value", "d_dpt", "d_locs", "d_attn"], gr, gp):
+        scale = max(float(jnp.abs(a).max()), 1.0)
+        assert float(jnp.abs(a - b).max()) < 5e-4 * scale, name
+
+
+def test_bf16_inputs_close():
+    from sgcdet_tpu.ops.dfa3d_pallas import dfa3d_attention_pallas
+
+    n, h, w, k, heads, c, p, d = 2, 8, 10, 24, 2, 8, 2, 5
+    value_img, dpt_img, locs, attn = _case(n, h, w, k, heads, c, p, d)
+    ref, _ = dfa3d_attention(
+        value_img.reshape(n, h * w, heads, c), dpt_img.reshape(n, h * w, d),
+        ((h, w),), locs[:, :, :, None], attn[:, :, :, None],
+    )
+    out = dfa3d_attention_pallas(
+        value_img.astype(jnp.bfloat16), dpt_img.astype(jnp.bfloat16),
+        locs, attn, heads,
+    )
+    assert out.dtype == jnp.bfloat16
+    scale = max(float(jnp.abs(ref).max()), 1.0)
+    assert float(jnp.abs(out.astype(jnp.float32) - ref).max()) < 2e-2 * scale
