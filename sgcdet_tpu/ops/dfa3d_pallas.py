@@ -444,6 +444,16 @@ def _pick_qb(k, heads, p, target=4096):
     return max_qb
 
 
+def _pick_cam_chunk(n, limit=10):
+    """Cameras are processed in lax.map chunks so the pair image / gradient
+    image / prep arrays only materialize for `chunk` cameras at a time (the
+    full 40-100 camera backward would need several GB of HBM otherwise)."""
+    for cand in range(min(limit, n), 0, -1):
+        if n % cand == 0:
+            return cand
+    return n
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def dfa3d_attention_pallas(value_img, dpt_img, sampling_locations,
                            attention_weights, num_heads):
@@ -463,6 +473,30 @@ def dfa3d_attention_pallas(value_img, dpt_img, sampling_locations,
 
 
 def _fwd_impl(value_img, dpt_img, sampling_locations, attention_weights, num_heads):
+    n = value_img.shape[0]
+    chunk = _pick_cam_chunk(n)
+    if chunk == n:
+        out = _fwd_cams(value_img, dpt_img, sampling_locations,
+                        attention_weights, num_heads)
+    else:
+        groups = n // chunk
+
+        def body(args):
+            return _fwd_cams(*args, num_heads)
+
+        out = jax.lax.map(
+            body,
+            tuple(
+                x.reshape((groups, chunk) + x.shape[1:])
+                for x in (value_img, dpt_img, sampling_locations,
+                          attention_weights)
+            ),
+        )
+        out = out.reshape((n,) + out.shape[2:])
+    return out, (value_img, dpt_img, sampling_locations, attention_weights)
+
+
+def _fwd_cams(value_img, dpt_img, sampling_locations, attention_weights, num_heads):
     n, h, w, cfull = value_img.shape
     d_size = dpt_img.shape[-1]
     k = sampling_locations.shape[1]
@@ -477,8 +511,7 @@ def _fwd_impl(value_img, dpt_img, sampling_locations, attention_weights, num_hea
         sampling_locations, attention_weights, h, w, d_size, qb
     )
     out = _run_fwd(pair, rows0, rows1, w4, dvec, heads, c, p, qb, cd)
-    out = out[:, :k].astype(value_img.dtype)
-    return out, (value_img, dpt_img, sampling_locations, attention_weights)
+    return out[:, :k].astype(value_img.dtype)
 
 
 def _vjp_fwd(value_img, dpt_img, sampling_locations, attention_weights, num_heads):
@@ -488,6 +521,29 @@ def _vjp_fwd(value_img, dpt_img, sampling_locations, attention_weights, num_head
 
 def _vjp_bwd(num_heads, res, g):
     value_img, dpt_img, sampling_locations, attention_weights = res
+    n = value_img.shape[0]
+    chunk = _pick_cam_chunk(n)
+    if chunk == n:
+        return _bwd_cams(value_img, dpt_img, sampling_locations,
+                         attention_weights, g, num_heads)
+    groups = n // chunk
+
+    def body(args):
+        return _bwd_cams(*args[:4], args[4], num_heads)
+
+    grads = jax.lax.map(
+        body,
+        tuple(
+            x.reshape((groups, chunk) + x.shape[1:])
+            for x in (value_img, dpt_img, sampling_locations,
+                      attention_weights, g)
+        ),
+    )
+    return tuple(x.reshape((n,) + x.shape[2:]) for x in grads)
+
+
+def _bwd_cams(value_img, dpt_img, sampling_locations, attention_weights, g,
+              num_heads):
     n, h, w, cfull = value_img.shape
     d_size = dpt_img.shape[-1]
     k = sampling_locations.shape[1]
