@@ -96,6 +96,10 @@ class ModelConfig:
     num_levels: int = 1
     ffn_dropout: float = 0.1
     attn_dropout: float = 0.0
+    # per-camera visible-query compaction budget (fraction of K; None = off).
+    # Exact vs the dense path when ceil(frac*K) >= max visible voxels per
+    # camera (see DeformCrossAttention.visibility_budget).
+    visibility_budget: float | None = None
     # 3D neck
     neck3d_out_channels: int = 128
     neck3d_n_blocks: Tuple[int, ...] = (1, 1, 1)

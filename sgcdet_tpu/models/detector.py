@@ -79,6 +79,7 @@ class SGCDet(nn.Module):
             num_points=cfg.num_points,
             ffn_dropout=cfg.ffn_dropout,
             query_chunk=self.query_chunk,
+            visibility_budget=cfg.visibility_budget,
             name="voxel_head",
         )(feats[:3], mlvl_dpt, origin, proj_img, self.img_shape, cfg.dbound, train)
 

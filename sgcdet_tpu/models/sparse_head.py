@@ -35,6 +35,7 @@ class AdaptiveSparseVolume(nn.Module):
     num_points: int = 4
     ffn_dropout: float = 0.1
     query_chunk: int | None = 100
+    visibility_budget: float | None = None
 
     @nn.compact
     def __call__(self, mlvl_feats, mlvl_dpt_dists, origin, projection, img_shape, dbound, train=False):
@@ -70,6 +71,7 @@ class AdaptiveSparseVolume(nn.Module):
                 num_levels=1,
                 ffn_dropout=self.ffn_dropout,
                 query_chunk=self.query_chunk,
+                visibility_budget=self.visibility_budget,
                 name=f"base_head{i}",
             )
 

@@ -216,7 +216,17 @@ class MSDeformableAttention2D(nn.Module):
 
 class DeformCrossAttention(nn.Module):
     """Two-stage per-view aggregation + masked-mean / attention inter-view
-    fusion (deformable_cross_attention.py:691-837)."""
+    fusion (deformable_cross_attention.py:691-837).
+
+    ``visibility_budget`` re-expresses the reference's per-camera rebatching
+    of visible voxels (deformable_cross_attention.py:759-783) with static
+    shapes: per camera, keep the top-B queries by visibility (top_k over the
+    0/1 mask keeps every visible voxel first, ties broken by index), run both
+    sampling stages on the compacted set, and scatter the results back.
+    EXACT whenever B >= the max number of visible voxels in any camera —
+    invisible slots are masked out of the fusion either way.  If B is smaller,
+    the lowest-index visible voxels win (a deviation the reference never
+    makes; size the budget from data statistics)."""
 
     embed_dims: int = 256
     num_heads: int = 8
@@ -226,6 +236,7 @@ class DeformCrossAttention(nn.Module):
     inter_view_aggregation: str = "attn"
     query_chunk: int | None = 100
     use_depth: bool = True  # False -> the reference's non-DFA3D 2D path
+    visibility_budget: float | None = None  # fraction of K kept per camera
 
     @nn.compact
     def __call__(
@@ -242,15 +253,35 @@ class DeformCrossAttention(nn.Module):
         c = self.embed_dims
         inp_residual = query
 
+        if self.visibility_budget is None:
+            budget = None
+        else:
+            budget = min(k, max(128, -(-int(k * self.visibility_budget) // 128) * 128))
+        compact = (
+            self.use_depth and budget is not None and 0 < budget < k
+        )
+        if compact:
+            scores = mask.astype(jnp.float32)
+            _, sel_idx = jax.lax.top_k(scores, budget)  # (N, B) visible first
+            ref_cam_s = jnp.take_along_axis(ref_cam, sel_idx[..., None], axis=1)
+            # selected-set mask; fusion masks with (visible AND selected)
+            sel = jax.vmap(
+                lambda i: jnp.zeros((k,), bool).at[i].set(True)
+            )(sel_idx)
+            mask = mask & sel
+        else:
+            ref_cam_s = ref_cam
+
         if self.use_depth:
+            kk = ref_cam_s.shape[1]
             # stage 1 — "geometry": depth-weighted trilinear sample at the
             # projected point (1 head = full C, 1 point, weight 1).
-            locs1 = ref_cam[:, :, None, None, :].astype(jnp.float32)
-            attn1 = jnp.ones((n, k, 1, 1), jnp.float32)
+            locs1 = ref_cam_s[:, :, None, None, :].astype(jnp.float32)
+            attn1 = jnp.ones((n, kk, 1, 1), jnp.float32)
             queries_per_image = dfa3d_attend(
                 value_img, dpt_img, locs1, attn1, num_heads=1,
                 query_chunk=self.query_chunk,
-            )  # (N, K, C)
+            )  # (N, K', C)
 
             # stage 2 — "context": deformable attention around the projection
             queries = MSDeformableAttention3D(
@@ -264,9 +295,13 @@ class DeformCrossAttention(nn.Module):
                 queries_per_image,
                 value_img,
                 dpt_img,
-                ref_cam[:, :, None, :],
+                ref_cam_s[:, :, None, :],
                 spatial_shapes,
             )
+            if compact:
+                queries = jax.vmap(
+                    lambda q, i: jnp.zeros((k, c), q.dtype).at[i].set(q)
+                )(queries, sel_idx)
         else:
             # 2D path (deformable_cross_attention.py:504-688): bilinear
             # grid-sample stage + plain MSDA stage with residual add.
@@ -321,6 +356,7 @@ class VoxFormerLayer(nn.Module):
     attn_dropout: float = 0.0
     query_chunk: int | None = 100
     use_depth: bool = True
+    visibility_budget: float | None = None
 
     @nn.compact
     def __call__(self, query, value, dpt_dist, ref_cam, mask, spatial_shapes, train=False):
@@ -332,6 +368,7 @@ class VoxFormerLayer(nn.Module):
             dropout=self.attn_dropout,
             query_chunk=self.query_chunk,
             use_depth=self.use_depth,
+            visibility_budget=self.visibility_budget,
             name="cross_attn",
         )(query, value, dpt_dist, ref_cam, mask, spatial_shapes, train)
         query = LayerNorm(name="norm1")(query)
@@ -354,6 +391,7 @@ class ViewTransformer(nn.Module):
     ffn_dropout: float = 0.1
     query_chunk: int | None = 100
     use_depth: bool = True
+    visibility_budget: float | None = None
 
     @nn.compact
     def __call__(self, ref_points, origin, projection, feats, dpt_dists, img_shape, dbound, train=False):
@@ -378,6 +416,7 @@ class ViewTransformer(nn.Module):
                 ffn_dropout=self.ffn_dropout,
                 query_chunk=self.query_chunk,
                 use_depth=self.use_depth,
+                visibility_budget=self.visibility_budget,
                 name=f"layer{i}",
             )(query, value_img, dpt_img, ref_cam, mask, spatial_shapes, train)
         return query

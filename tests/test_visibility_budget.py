@@ -1,0 +1,86 @@
+"""Visibility-budget compaction parity (deformable_cross_attention.py:759-783
+semantics): compacted attention must match the masked-dense path exactly
+whenever the budget covers every visible voxel in every camera."""
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgcdet_tpu.models.view_transformer import DeformCrossAttention
+
+
+def _setup(k=512, n=3, c=64, d=6, h_img=12, w_img=16, seed=0, vis_per_cam=90):
+    key = jax.random.PRNGKey(seed)
+    ks = jax.random.split(key, 6)
+    value_img = jax.random.normal(ks[0], (n, h_img, w_img, c), jnp.float32)
+    dpt_img = jax.nn.softmax(jax.random.normal(ks[1], (n, h_img, w_img, d)), -1)
+    ref_cam = jax.random.uniform(ks[2], (n, k, 3), minval=0.05, maxval=0.95)
+    query = jnp.zeros((k, c), jnp.float32)
+    # controlled visibility: ~vis_per_cam visible voxels per camera
+    rng = np.random.RandomState(seed)
+    mask = np.zeros((n, k), bool)
+    for i in range(n):
+        mask[i, rng.choice(k, vis_per_cam, replace=False)] = True
+    return query, value_img, dpt_img, ref_cam, jnp.asarray(mask)
+
+
+def _run(budget, args, seed=0):
+    query, value_img, dpt_img, ref_cam, mask = args
+    mod = DeformCrossAttention(
+        embed_dims=value_img.shape[-1], num_heads=4, num_points=2,
+        query_chunk=None, visibility_budget=budget,
+    )
+    variables = mod.init(
+        jax.random.PRNGKey(seed), query, value_img, dpt_img, ref_cam, mask,
+        ((value_img.shape[1], value_img.shape[2]),),
+    )
+    out = mod.apply(
+        variables, query, value_img, dpt_img, ref_cam, mask,
+        ((value_img.shape[1], value_img.shape[2]),),
+    )
+    return variables, out
+
+
+def test_budget_exact_when_covering():
+    args = _setup()
+    v_dense, dense = _run(None, args)
+    v_comp, comp = _run(0.25, args)  # budget -> 128 >= 90 visible
+    # identical parameter trees (compaction adds no params)
+    assert jax.tree_util.tree_structure(v_dense) == jax.tree_util.tree_structure(v_comp)
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(comp), atol=1e-5)
+
+
+def test_budget_exact_with_grads():
+    args = _setup(seed=3)
+    query, value_img, dpt_img, ref_cam, mask = args
+    mod = DeformCrossAttention(embed_dims=value_img.shape[-1], num_heads=4,
+                               num_points=2, query_chunk=None,
+                               visibility_budget=None)
+    variables = mod.init(jax.random.PRNGKey(0), query, value_img, dpt_img,
+                         ref_cam, mask, ((12, 16),))
+
+    def loss(v, budget):
+        m = DeformCrossAttention(embed_dims=value_img.shape[-1], num_heads=4,
+                                 num_points=2, query_chunk=None,
+                                 visibility_budget=budget)
+        out = m.apply(v, query, value_img, dpt_img, ref_cam, mask, ((12, 16),))
+        return jnp.sum(out ** 2)
+
+    g_dense = jax.grad(lambda v: loss(v, None))(variables)
+    g_comp = jax.grad(lambda v: loss(v, 0.25))(variables)
+    flat_d, _ = jax.flatten_util.ravel_pytree(g_dense)
+    flat_c, _ = jax.flatten_util.ravel_pytree(g_comp)
+    np.testing.assert_allclose(np.asarray(flat_d), np.asarray(flat_c),
+                               atol=2e-4)
+
+
+def test_budget_too_small_keeps_lowest_indices():
+    # with budget < visible count, only the selected (lowest-index visible)
+    # voxels participate; output stays finite and invisible voxels stay zero
+    args = _setup(vis_per_cam=300, seed=5)
+    query, value_img, dpt_img, ref_cam, mask = args
+    _, out = _run(0.25, args)  # 128 < 300 visible
+    assert np.isfinite(np.asarray(out)).all()
+    novis = ~np.asarray(mask).any(axis=0)
+    np.testing.assert_allclose(np.asarray(out)[novis], 0.0, atol=1e-6)
