@@ -1,14 +1,27 @@
-"""Benchmark: multi-view scenes/sec on the flagship ScanNet SGCDet inference
-path (backbone -> FPN -> depth -> lifting -> neck -> head) on whatever device
+"""Benchmark: multi-view scenes/sec on the SGCDet inference path
+(backbone -> FPN -> depth -> lifting -> neck -> head) on whatever device
 jax sees (the driver runs this on one real TPU chip).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
-vs_baseline: the reference publishes no throughput numbers (BASELINE.md); the
-PyTorch+CUDA reference measured on a consumer GPU runs ~1 scene/sec at the
-40-view train setting (order-of-magnitude anchor) — we report value/1.0 until
-a measured reference number lands in BASELINE.json.
+Headline: SGCDet ScanNet at the 40-view train setting, exact semantics
+(visibility budget off).  `extra` carries the released 100-view eval
+protocol, SGCDet-L ScanNet200 at full scale, the visibility-budget variant,
+and the same-chip XLA-path comparator.
+
+vs_baseline: measured scenes/sec divided by the documented reference
+estimate (16 scenes/sec at 40 views on one RTX 3090 — component roofline +
+overhead model with stated assumptions and ±50% error bars; see
+BASELINE.md "Reference throughput estimate").  No GPU is reachable here and
+the reference publishes no throughput numbers, so this denominator is an
+estimate, not a measurement — the JSON says so via `baseline_kind`.
+
+Timing: the axon TPU tunnel adds ~28 ms per host sync and its
+block_until_ready can return early, so each figure is measured as the slope
+between 2- and 8-iteration pipelined runs with a single forcing host fetch
+at the end (device time, sync overhead cancelled).
 """
+import dataclasses
 import json
 import os
 import time
@@ -18,53 +31,105 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import numpy as np
 
+# documented estimates / measurements (see BASELINE.md)
+REF_EST_40VIEW = 16.0        # scenes/sec, RTX 3090 estimate, 40 views
+REF_EST_100VIEW = 9.0        # scenes/sec, RTX 3090 estimate, 100 views
+XLA_PATH_40VIEW = 1.0 / 0.637  # scenes/sec, this repo w/o Pallas kernel, v5e, 2026-08-16
 
-def main():
+
+def scene_time(cfg_name, n_views, visibility_budget=None):
+    """Measured seconds/scene for one config via the pipelined slope method."""
     import jax
+    import jax.numpy as jnp
 
     from __graft_entry__ import _example_scene
-    from sgcdet_tpu.configs import scannet
-
+    from sgcdet_tpu.configs.config import get_config
     from sgcdet_tpu.models import SGCDet
 
-    cfg = scannet()
-    n_views = 40  # the reference's training view count per scene
+    cfg = get_config(cfg_name)
+    mcfg = dataclasses.replace(cfg.model, visibility_budget=visibility_budget)
     scene = _example_scene(cfg.data.img_shape, cfg.data.pad_size, n_views)
-    model = SGCDet(cfg=cfg.model, img_shape=cfg.data.img_shape, query_chunk=100)
-
+    model = SGCDet(cfg=mcfg, img_shape=cfg.data.img_shape, query_chunk=100)
     init = jax.jit(lambda r, a, b, c, d: model.init(
         {"params": r}, a, b, c, d, train=False))
     variables = init(jax.random.PRNGKey(0), scene["imgs"], scene["proj_img"],
                      scene["proj_feat4"], scene["origin"])
 
-    import jax.numpy as jnp
-
     @jax.jit
     def fwd(v, imgs, proj_img, proj4, origin):
         out = model.apply(v, imgs, proj_img, proj4, origin, train=False)
-        # reduce on device so the per-iteration host fetch is one scalar
-        checksum = sum(jnp.sum(jnp.abs(x)) for x in jax.tree_util.tree_leaves(out["head_outs"]))
-        return out["head_outs"], out["valid"], checksum
+        return sum(jnp.sum(jnp.abs(x))
+                   for x in jax.tree_util.tree_leaves(out["head_outs"]))
 
     args = (variables, scene["imgs"], scene["proj_img"], scene["proj_feat4"],
             scene["origin"])
-    # warmup / compile; force with a real host fetch (block_until_ready alone
-    # does not reliably wait on the axon-tunnel platform)
-    float(fwd(*args)[2])
+    s = float(fwd(*args))  # compile + warm; host fetch forces completion
+    assert np.isfinite(s), "non-finite forward output"
 
-    n_iters = 5
+    def run(n):
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(n):
+            o = fwd(*args)
+        float(o)
+        return time.perf_counter() - t0
+
+    lo = min(run(1), run(1))
+    hi = min(run(5), run(5))
+    return (hi - lo) / 4.0
+
+
+def main():
+    import sys
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        s = float(fwd(*args)[2])
-    dt = time.perf_counter() - t0
-    assert np.isfinite(s)
-    scenes_per_sec = n_iters / dt
+    # compiles through the axon tunnel take 1.5-4.5 min each and do not hit
+    # the persistent cache; run the extra protocol variants best-effort under
+    # a soft deadline so the headline JSON always lands
+    deadline = float(os.environ.get("BENCH_DEADLINE_SEC", "1500"))
+
+    def log(msg):
+        print(f"[bench +{time.perf_counter()-t0:.0f}s] {msg}", file=sys.stderr)
+
+    t_40 = scene_time("scannet", 40)
+    log(f"scannet 40v: {t_40:.3f}s/scene")
+    sps_40 = 1.0 / t_40
+
+    extra = {
+        "baseline_kind": "estimate",
+        "baseline_scenes_per_sec_40views_rtx3090_est": REF_EST_40VIEW,
+        "vs_same_chip_xla_path_measured": round(sps_40 / XLA_PATH_40VIEW, 4),
+        # measured 2026-08-17 on v5e with this revision (re-measured live
+        # below when the bench time budget allows):
+        "scannet_100view_eval_scenes_per_sec": 0.947,
+        "scannet200_large_40view_scenes_per_sec": 0.539,
+        "scannet_40view_visibility_budget0.5_scenes_per_sec": 3.568,
+        "extras_kind": "cached_2026-08-17",
+    }
+    variants = [
+        ("scannet_100view_eval_scenes_per_sec", "scannet", 100, None),
+        ("scannet200_large_40view_scenes_per_sec", "scannet200_large", 40, None),
+        ("scannet_40view_visibility_budget0.5_scenes_per_sec", "scannet", 40, 0.5),
+    ]
+    done = 0
+    for key, cfg_name, n_views, budget in variants:
+        if time.perf_counter() - t0 > deadline - 240:
+            log(f"deadline: skipping re-measure of {key}")
+            break
+        t = scene_time(cfg_name, n_views, visibility_budget=budget)
+        log(f"{key}: {t:.3f}s/scene")
+        extra[key] = round(1.0 / t, 4)
+        done += 1
+    if done == len(variants):
+        extra["extras_kind"] = "measured_live"
+    extra["scannet_100view_vs_baseline_est"] = round(
+        extra["scannet_100view_eval_scenes_per_sec"] / REF_EST_100VIEW, 4)
 
     print(json.dumps({
         "metric": "multiview_scenes_per_sec_40views",
-        "value": round(scenes_per_sec, 4),
+        "value": round(sps_40, 4),
         "unit": "scenes/sec/chip",
-        "vs_baseline": round(scenes_per_sec / 1.0, 4),
+        "vs_baseline": round(sps_40 / REF_EST_40VIEW, 4),
+        "extra": extra,
     }))
 
 

@@ -444,14 +444,17 @@ def _pick_qb(k, heads, p, target=4096):
     return max_qb
 
 
-def _pick_cam_chunk(n, limit=10):
+def _pick_cam_chunk(n, samples_per_cam, limit=10, sample_budget=4 << 20):
     """Cameras are processed in lax.map chunks so the pair image / gradient
     image / prep arrays only materialize for `chunk` cameras at a time (the
-    full 40-100 camera backward would need several GB of HBM otherwise)."""
+    full 40-100 camera backward would need several GB of HBM otherwise).
+    The chunk also caps total samples (SGCDet-L has 1.6M samples/camera at
+    the finest level — even two cameras of prep arrays are GB-scale)."""
+    limit = max(1, min(limit, sample_budget // max(samples_per_cam, 1)))
     for cand in range(min(limit, n), 0, -1):
         if n % cand == 0:
             return cand
-    return n
+    return 1
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -473,8 +476,9 @@ def dfa3d_attention_pallas(value_img, dpt_img, sampling_locations,
 
 
 def _fwd_impl(value_img, dpt_img, sampling_locations, attention_weights, num_heads):
-    n = value_img.shape[0]
-    chunk = _pick_cam_chunk(n)
+    n, k = sampling_locations.shape[:2]
+    hp = sampling_locations.shape[2] * sampling_locations.shape[3]
+    chunk = _pick_cam_chunk(n, k * hp)
     if chunk == n:
         out = _fwd_cams(value_img, dpt_img, sampling_locations,
                         attention_weights, num_heads)
@@ -521,8 +525,9 @@ def _vjp_fwd(value_img, dpt_img, sampling_locations, attention_weights, num_head
 
 def _vjp_bwd(num_heads, res, g):
     value_img, dpt_img, sampling_locations, attention_weights = res
-    n = value_img.shape[0]
-    chunk = _pick_cam_chunk(n)
+    n, k = sampling_locations.shape[:2]
+    hp = sampling_locations.shape[2] * sampling_locations.shape[3]
+    chunk = _pick_cam_chunk(n, k * hp)
     if chunk == n:
         return _bwd_cams(value_img, dpt_img, sampling_locations,
                          attention_weights, g, num_heads)
