@@ -98,7 +98,7 @@ def build_dataset_and_loader(config, train, batch_size, num_workers, seed,
 
 
 def run_eval(config, model, params, batch_stats, dataset, logger=None, step=0,
-             show_dir=None):
+             show_dir=None, num_workers=4):
     """Full-dataset inference + indoor mAP (pl_model.py:76-90)."""
     import jax
     from .eval import indoor_eval
@@ -112,11 +112,13 @@ def run_eval(config, model, params, batch_stats, dataset, logger=None, step=0,
     # prefetch scene decode (JPEG-bound on host) behind device compute
     import concurrent.futures as cf
 
-    pool = cf.ThreadPoolExecutor(max_workers=2)
-    futures = {i: pool.submit(dataset.__getitem__, i) for i in range(min(2, len(dataset)))}
+    pool = cf.ThreadPoolExecutor(max_workers=num_workers)
+    window = 2 * num_workers
+    futures = {i: pool.submit(dataset.__getitem__, i)
+               for i in range(min(window, len(dataset)))}
     for i in range(len(dataset)):
         scene = futures.pop(i).result()
-        nxt = i + 2
+        nxt = i + window
         if nxt < len(dataset) and nxt not in futures:
             futures[nxt] = pool.submit(dataset.__getitem__, nxt)
         scene_dev = {
@@ -248,6 +250,7 @@ def main(argv=None):
     epoch = 0
     t_last = time.time()
     profiled = False
+    val_ds_cache = None
     while step < total_steps:
         for batch in train_loader:
             if step >= total_steps:
@@ -279,9 +282,11 @@ def main(argv=None):
         epoch += 1
         save_checkpoint(str(log_dir / "ckpt"), jax.device_get(state), step)
         if args.eval_every_epochs and epoch % args.eval_every_epochs == 0:
-            val_ds, _ = build_dataset_and_loader(config, False, 1, 0, args.seed)
-            run_eval(config, model, state.params, state.batch_stats, val_ds,
-                     logger, step)
+            if val_ds_cache is None:
+                val_ds_cache, _ = build_dataset_and_loader(
+                    config, False, 1, 0, args.seed)
+            run_eval(config, model, state.params, state.batch_stats,
+                     val_ds_cache, logger, step, num_workers=args.num_workers)
     save_checkpoint(str(log_dir / "ckpt"), jax.device_get(state), step)
 
 

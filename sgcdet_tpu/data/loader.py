@@ -1,15 +1,19 @@
-"""Fixed-shape batching + background prefetch.
+"""Fixed-shape batching + multi-worker prefetch.
 
 The reference uses torch DataLoader workers + DistributedSampler
-(LightningTools/dataset_dm.py:30-38). Here: a thread pool decodes scenes
-(JPEG + depth PNG are the bottleneck — SURVEY.md hard-part #6), per-host
-sharding keeps each process on its slice of the epoch, and GT is padded to a
-static (max_boxes,) so the train step jits once.
+(LightningTools/dataset_dm.py:30-38, 4 workers/GPU). Here: a pool of
+``num_workers`` scene-decoder threads — cv2's JPEG/PNG decode is native
+C++ and releases the GIL, so workers scale across host cores like torch's
+process workers without pickling scene dicts between processes.  Per-scene
+futures are submitted with a bounded window and assembled into batches in
+deterministic order; per-host sharding keeps each process on its slice of
+the epoch, and GT is padded to a static (max_boxes,) so the train step jits
+once.
 """
 from __future__ import annotations
 
-import queue
-import threading
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -88,36 +92,39 @@ class SceneLoader:
         n_batches = len(indices) // self.batch_size
         if not self.drop_last and len(indices) % self.batch_size:
             n_batches += 1
+        n_scenes = min(len(indices), n_batches * self.batch_size)
 
-        q: queue.Queue = queue.Queue(maxsize=max(2, self.num_workers))
-        stop = threading.Event()
-
-        def producer():
-            try:
-                for b in range(n_batches):
-                    if stop.is_set():
-                        return
-                    sel = indices[b * self.batch_size : (b + 1) * self.batch_size]
-                    scenes = [self.ds[int(i)] for i in sel]
-                    q.put(self._collate(scenes))
-            finally:
-                q.put(None)
-
-        if self.num_workers > 0:
-            t = threading.Thread(target=producer, daemon=True)
-            t.start()
-            try:
-                while True:
-                    item = q.get()
-                    if item is None:
-                        break
-                    yield item
-            finally:
-                stop.set()
-        else:
+        if self.num_workers <= 0:
             for b in range(n_batches):
                 sel = indices[b * self.batch_size : (b + 1) * self.batch_size]
                 yield self._collate([self.ds[int(i)] for i in sel])
+            return
+
+        # per-scene futures, bounded in-flight window, in-order assembly
+        ex = ThreadPoolExecutor(max_workers=self.num_workers)
+        window = 2 * self.num_workers + self.batch_size
+        futs: deque = deque()
+        submitted = 0
+
+        def submit_more():
+            nonlocal submitted
+            while submitted < n_scenes and len(futs) < window:
+                futs.append(ex.submit(self.ds.__getitem__, int(indices[submitted])))
+                submitted += 1
+
+        try:
+            submit_more()
+            for b in range(n_batches):
+                take = min(self.batch_size, n_scenes - b * self.batch_size)
+                scenes = []
+                for _ in range(take):
+                    scenes.append(futs.popleft().result())
+                    submit_more()
+                yield self._collate(scenes)
+        finally:
+            for f in futs:
+                f.cancel()
+            ex.shutdown(wait=False)
 
     def __len__(self):
         n = len(self._epoch_indices())
