@@ -151,6 +151,68 @@ def make_train_step(model, config, tx, mesh: Mesh | None = None, axis_name="data
     return step_fn
 
 
+def make_view_sharded_train_step(model, config, tx, mesh, axis_name="view"):
+    """Single-scene training step sharded over the CAMERA axis.
+
+    The reference trains at batch 1/GPU with 40 views
+    (configs/SGCDet_ScanNet.py:139,194) — data parallelism cannot cut the
+    per-scene step time, but the view axis can: the per-view trunk
+    (backbone/FPN/depth plane sweep) partitions across devices and GSPMD
+    inserts the collectives at the cross-view points (plane-sweep neighbor
+    halo exchange, inter-view fusion, BN batch statistics over views) and
+    the gradient reduction, exactly the scaling-book recipe: annotate
+    shardings, let XLA place the collectives.  Scene view count must divide
+    by the mesh axis size.
+
+    Returns step_fn(state, scene, rng) -> (state, metrics) where `scene` is
+    an UNbatched scene dict (view-major arrays).
+    """
+    set_bn_sync_axis(None)  # stats reduce over the (globally sharded) view axis
+    view = NamedSharding(mesh, P(axis_name))
+    repl = NamedSharding(mesh, P())
+
+    view_keys = ("imgs", "proj_img", "proj_feat4", "gt_depth")
+
+    def scene_shardings(scene):
+        return {k: (view if k in view_keys else repl) for k in scene}
+
+    def _step(state, scene, rng):
+        loss_fn = _scene_loss(
+            model, config, state.params, state.batch_stats, scene, rng, None
+        )
+        (total, (losses, new_stats, n_pos)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates
+        )
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+        )
+        metrics = dict(losses)
+        metrics["loss"] = total
+        metrics["n_pos"] = n_pos
+        return new_state, metrics
+
+    compiled = {}
+
+    def step_fn(state, scene, rng):
+        key = tuple(sorted(scene.keys()))
+        if key not in compiled:
+            compiled[key] = jax.jit(
+                _step,
+                in_shardings=(repl, scene_shardings(scene), repl),
+                out_shardings=(repl, repl),
+            )
+        return compiled[key](state, scene, rng)
+
+    return step_fn
+
+
 def make_eval_step(model, config):
     """Jitted single-scene inference returning head outputs for host decode."""
 

@@ -14,3 +14,58 @@ def test_dryrun_multichip_8dev():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)  # asserts finite loss internally
+
+
+def test_view_sharded_train_matches_unsharded():
+    """GSPMD view sharding must not change the math: one step of the
+    view-sharded trainer equals the single-device step bit-for-fp32-bit."""
+    if jax.device_count() < 2:
+        pytest.skip("needs >=2 devices")
+    import dataclasses
+
+    import jax.numpy as jnp
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    from sgcdet_tpu.configs import scannet
+    from sgcdet_tpu.parallel import make_mesh
+    from sgcdet_tpu.train.loop import (
+        init_train_state, make_train_step, make_view_sharded_train_step)
+
+    cfg = scannet()
+    tiny_model = dataclasses.replace(
+        cfg.model, n_voxels_list=((4, 4, 2), (8, 8, 4), (16, 16, 8)),
+        topk_list=(32, 128), embed_dims=32, n_classes=5, limit=4,
+        centerness_topk=4, compute_dtype="float32")
+    tiny_data = dataclasses.replace(
+        cfg.data, img_shape=(60, 80), pad_size=(64, 80), max_boxes=8)
+    tiny = dataclasses.replace(cfg, model=tiny_model, data=tiny_data)
+
+    n_views = 4  # 2 devices x 2 views
+    scene = ge._example_scene(tiny.data.img_shape, tiny.data.pad_size, n_views)
+    rng = np.random.RandomState(0)
+    scene.update(
+        gt_boxes=jnp.asarray(
+            np.abs(rng.randn(tiny.data.max_boxes, 7)).astype(np.float32) * 0.5 + 0.2),
+        gt_labels=jnp.zeros((tiny.data.max_boxes,), jnp.int32),
+        gt_mask=jnp.asarray(np.arange(tiny.data.max_boxes) < 3),
+    )
+    model, state, tx = init_train_state(
+        tiny, jax.random.PRNGKey(0), scene, query_chunk=None)
+
+    # unsharded single-device step (batch of 1)
+    step1 = make_train_step(model, tiny, tx, mesh=None)
+    batch = {k: v[None] for k, v in scene.items()}
+    s1, m1 = step1(state, batch, jax.random.PRNGKey(5))
+
+    # view-sharded step on a 2-device mesh
+    mesh = make_mesh(jax.devices()[:2], ("view",))
+    stepv = make_view_sharded_train_step(model, tiny, tx, mesh)
+    sv, mv = stepv(state, scene, jax.random.PRNGKey(5))
+
+    assert abs(float(m1["loss"]) - float(mv["loss"])) < 1e-5
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    lv = jax.tree_util.tree_leaves(sv.params)
+    err = max(float(jnp.abs(a - b).max()) for a, b in zip(l1, lv))
+    # cross-device reductions reassociate fp sums; AdamW then rescales the
+    # tiny differences to O(lr) — 1e-4 absolute on params is the fp floor
+    assert err < 1e-4, err
