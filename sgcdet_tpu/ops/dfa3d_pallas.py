@@ -140,16 +140,24 @@ def _sample_quantities(locs, attn, h, w, d_size, qb):
     r0 = jnp.clip(y0, 0, h - 1) * (w + 1) + xc
     r1 = jnp.clip(y0 + 1, 0, h - 1) * (w + 1) + xc
 
-    # depth lerp vector over D bins with per-side validity
+    # depth lerp factors with per-side validity; the per-bin one-hot lerp
+    # vector is built IN-kernel from (wd0, wd1, d0c, d1c) to avoid
+    # materializing a (samples, D) array in HBM
     vd0 = (d0 >= 0) & (d0 <= d_size - 1)
     vd1 = (d0 + 1 >= 0) & (d0 + 1 <= d_size - 1)
     d0c = jnp.clip(d0, 0, d_size - 1)
     d1c = jnp.clip(d0 + 1, 0, d_size - 1)
     wd0 = jnp.where(vd0, 1 - ld, 0.0)
     wd1 = jnp.where(vd1, ld, 0.0)
-    dvec = wd0[..., None] * jax.nn.one_hot(d0c, d_size, dtype=jnp.float32) + wd1[
-        ..., None
-    ] * jax.nn.one_hot(d1c, d_size, dtype=jnp.float32)  # (N, heads, Kpad, P, D)
+    winfo = jnp.concatenate(
+        [
+            w4,
+            wd0[..., None], wd1[..., None],
+            d0c.astype(jnp.float32)[..., None],
+            d1c.astype(jnp.float32)[..., None],
+        ],
+        axis=-1,
+    )  # (N, heads, Kpad, P, 8)
 
     nblk = kpad // qb
     m = heads * qb * p
@@ -161,12 +169,12 @@ def _sample_quantities(locs, attn, h, w, d_size, qb):
         x = jnp.moveaxis(x, 2, 1)  # (N, nblk, heads, qb, P, ...)
         return x.reshape((n, nblk, m) + ((lanes,) if lanes else ()))
 
-    rows0 = blockify(r0, None)
-    rows1 = blockify(r1, None)
-    w4b = blockify(w4, 4)
-    dvecb = blockify(dvec, d_size)
+    rows = jnp.concatenate(
+        [blockify(r0, None), blockify(r1, None)], axis=-1
+    )  # (N, nblk, 2M): y0 rows then y1 rows
+    winfob = blockify(winfo, 8)
     resid = (wb, attn, lx, ly, ld, vd0, vd1, d0c, d1c, vx0, vx1, vy0, vy1)
-    return rows0, rows1, w4b, dvecb, resid, kpad
+    return rows, winfob, resid, kpad
 
 
 # ---------------------------------------------------------------------------
@@ -174,23 +182,35 @@ def _sample_quantities(locs, attn, h, w, d_size, qb):
 # ---------------------------------------------------------------------------
 
 
-def _gather_loop(rows0_ref, rows1_ref, img_ref, sc0, sc1, m):
+def _gather_loop(rows_ref, img_ref, sc0, sc1, m):
     """Two single-row dynamic-slice copies per sample; nested loops so the
-    SMEM index math is add-only (div/mod on the critical path costs ~40%)."""
+    SMEM index math is add-only (div/mod on the critical path costs ~40%).
+    rows_ref packs y0 rows in the first m//128 sublane rows and y1 rows in
+    the next m//128."""
+    half = m // 128
 
     def outer(j, _):
         base = j * 128
 
         def inner(l, _):
             i = base + l
-            sc0[pl.ds(i, 1), :] = img_ref[pl.ds(rows0_ref[j, l], 1), :]
-            sc1[pl.ds(i, 1), :] = img_ref[pl.ds(rows1_ref[j, l], 1), :]
+            sc0[pl.ds(i, 1), :] = img_ref[pl.ds(rows_ref[j, l], 1), :]
+            sc1[pl.ds(i, 1), :] = img_ref[pl.ds(rows_ref[half + j, l], 1), :]
             return 0
 
         jax.lax.fori_loop(0, 128, inner, 0, unroll=False)
         return 0
 
-    jax.lax.fori_loop(0, m // 128, outer, 0, unroll=False)
+    jax.lax.fori_loop(0, half, outer, 0, unroll=False)
+
+
+def _build_dvec(winfo, m, d_size):
+    """Depth one-hot lerp vector from packed (wd0, wd1, d0c, d1c) lanes."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (m, d_size), 1).astype(jnp.float32)
+    return (
+        jnp.where(iota == winfo[:, 6:7], winfo[:, 4:5], 0.0)
+        + jnp.where(iota == winfo[:, 7:8], winfo[:, 5:6], 0.0)
+    )
 
 
 def _corner_contribs(s0, s1, w4, dvec, cfull, d_size):
@@ -200,7 +220,6 @@ def _corner_contribs(s0, s1, w4, dvec, cfull, d_size):
     offsets (no lane-shift relayouts on the wide slices).
     Returns (contrib, ds_list, (va, vb, vc, vd_)).
     """
-    out = []
     ds_all = []
     vals = []
     contrib = None
@@ -218,66 +237,52 @@ def _corner_contribs(s0, s1, w4, dvec, cfull, d_size):
     return contrib, ds_all, vals
 
 
-def _fwd_kernel(rows0_ref, rows1_ref, w4_ref, dvec_ref, img_ref, out_ref, sc0, sc1,
-                *, heads, c, p, qb, cd):
-    m = sc0.shape[0]
-    _gather_loop(rows0_ref, rows1_ref, img_ref, sc0, sc1, m)
-
-    cfull = heads * c
-    d_size = cd - cfull
-    contrib, _, _ = _corner_contribs(sc0[:], sc1[:], w4_ref[:], dvec_ref[:],
-                                     cfull, d_size)
-
-    if heads == 1 and p == 1:
-        # rows already are queries (stage-1 geometry sampling)
-        out_ref[:] = contrib
-        return
-
-    # mask each sample row to its own head's channel block, then reduce all
-    # (head, query, point) rows of a query with ONE selection matmul (MXU)
-    qbp = qb * p
-    hm_row = jax.lax.broadcasted_iota(jnp.int32, (m, cfull), 0) // qbp
-    hm_col = jax.lax.broadcasted_iota(jnp.int32, (m, cfull), 1) // c
-    contrib = jnp.where(hm_row == hm_col, contrib, 0.0)
-    r_row = jax.lax.broadcasted_iota(jnp.int32, (qb, m), 0)
-    r_col = jax.lax.broadcasted_iota(jnp.int32, (qb, m), 1)
-    rsel = ((r_col % qbp) // p == r_row).astype(jnp.float32)  # (QB, M)
-    out_ref[:] = jnp.dot(rsel, contrib, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
-
-
-def _bwd_kernel(rows0_ref, rows1_ref, w4_ref, dvec_ref, g_ref, img_ref,
-                dimg_ref, dw4_ref, ddvec_ref, sc0, sc1, u0, u1,
-                *, heads, c, p, qb, cd):
+def _fwd_kernel(rows_ref, winfo_ref, img_ref, out_ref, sc0, sc1, rsel_sc,
+                hmask_sc, *, heads, c, p, qb, cd):
     m = sc0.shape[0]
     cfull = heads * c
     d_size = cd - cfull
     qbp = qb * p
 
-    @pl.when(pl.program_id(1) == 0)
+    # selection/head-mask matrices are invariant across the grid; build them
+    # once into persistent scratch instead of re-deriving iotas every step
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
     def _():
-        dimg_ref[:] = jnp.zeros_like(dimg_ref)
-
-    _gather_loop(rows0_ref, rows1_ref, img_ref, sc0, sc1, m)
-
-    w4 = w4_ref[:]
-    dvec = dvec_ref[:]
-    g = g_ref[:]  # (QB, cfull)
-
-    if heads == 1 and p == 1:
-        gm = g  # rows are queries (stage-1 geometry sampling)
-    else:
-        # expand grad rows to sample rows, masked to each sample's head block
-        r_row = jax.lax.broadcasted_iota(jnp.int32, (m, qb), 0)
-        r_col = jax.lax.broadcasted_iota(jnp.int32, (m, qb), 1)
-        rfull = ((r_row % qbp) // p == r_col).astype(jnp.float32)  # (M, QB)
-        g_rows = jnp.dot(rfull, g, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
         hm_row = jax.lax.broadcasted_iota(jnp.int32, (m, cfull), 0) // qbp
         hm_col = jax.lax.broadcasted_iota(jnp.int32, (m, cfull), 1) // c
-        gm = jnp.where(hm_row == hm_col, g_rows, 0.0)  # (M, cfull)
+        hmask_sc[:] = (hm_row == hm_col).astype(jnp.float32)
+        r_row = jax.lax.broadcasted_iota(jnp.int32, (qb, m), 0)
+        r_col = jax.lax.broadcasted_iota(jnp.int32, (qb, m), 1)
+        rsel_sc[:] = ((r_col % qbp) // p == r_row).astype(jnp.float32)
 
-    _, ds_list, vals = _corner_contribs(sc0[:], sc1[:], w4, dvec, cfull, d_size)
+    _gather_loop(rows_ref, img_ref, sc0, sc1, m)
+    winfo = winfo_ref[:]
+    dvec = _build_dvec(winfo, m, d_size)
+    contrib, _, _ = _corner_contribs(sc0[:], sc1[:], winfo, dvec, cfull, d_size)
+
+    # mask each sample row to its own head block, then reduce all
+    # (head, query, point) rows of a query with ONE selection matmul (MXU)
+    contrib = contrib * hmask_sc[:]
+    out_ref[:] = jnp.dot(rsel_sc[:], contrib, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+
+
+def _fwd_kernel_s1(rows_ref, winfo_ref, img_ref, out_ref, sc0, sc1, *, cfull, cd):
+    """Stage-1 (heads=1, P=1): rows ARE queries; no selection reduce."""
+    m = sc0.shape[0]
+    d_size = cd - cfull
+    _gather_loop(rows_ref, img_ref, sc0, sc1, m)
+    winfo = winfo_ref[:]
+    dvec = _build_dvec(winfo, m, d_size)
+    contrib, _, _ = _corner_contribs(sc0[:], sc1[:], winfo, dvec, cfull, d_size)
+    out_ref[:] = contrib
+
+
+def _bwd_compute(sc0, sc1, winfo, dvec, gm, dw4_ref, ddvec_ref, u0, u1,
+                 cfull, d_size):
+    m = sc0.shape[0]
+    _, ds_list, vals = _corner_contribs(sc0[:], sc1[:], winfo, dvec, cfull,
+                                        d_size)
     s0 = sc0[:]
     s1 = sc1[:]
     dpts = (
@@ -289,16 +294,15 @@ def _bwd_kernel(rows0_ref, rows1_ref, w4_ref, dvec_ref, g_ref, img_ref,
     t_list = [jnp.sum(v * gm, axis=1, keepdims=True) for v in vals]  # (M, 1)
     ddvec = jnp.zeros((m, d_size), jnp.float32)
     for j in range(4):
-        ddvec = ddvec + (w4[:, j:j + 1] * t_list[j]) * dpts[j]
+        ddvec = ddvec + (winfo[:, j:j + 1] * t_list[j]) * dpts[j]
     dw4_ref[:] = jnp.concatenate(
         [ds_list[j] * t_list[j] for j in range(4)], axis=1
     )
     ddvec_ref[:] = ddvec
 
-    # scatter updates: [dvA | dvB | ddA | ddB] per y-row, pair layout
     def upd(j):
-        return ((w4[:, j:j + 1] * ds_list[j]) * gm,
-                (w4[:, j:j + 1] * t_list[j]) * dvec)
+        return ((winfo[:, j:j + 1] * ds_list[j]) * gm,
+                (winfo[:, j:j + 1] * t_list[j]) * dvec)
 
     dv0, dd0 = upd(0)
     dv1, dd1 = upd(1)
@@ -307,19 +311,73 @@ def _bwd_kernel(rows0_ref, rows1_ref, w4_ref, dvec_ref, g_ref, img_ref,
     dv3, dd3 = upd(3)
     u1[:] = jnp.concatenate([dv2, dv3, dd2, dd3], axis=1)
 
+
+def _scatter_loop(rows_ref, dimg_ref, u0, u1, m):
+    half = m // 128
+
     def outer(j, _):
         base = j * 128
 
         def inner(l, _):
             i = base + l
-            dimg_ref[pl.ds(rows0_ref[j, l], 1), :] += u0[pl.ds(i, 1), :]
-            dimg_ref[pl.ds(rows1_ref[j, l], 1), :] += u1[pl.ds(i, 1), :]
+            dimg_ref[pl.ds(rows_ref[j, l], 1), :] += u0[pl.ds(i, 1), :]
+            dimg_ref[pl.ds(rows_ref[half + j, l], 1), :] += u1[pl.ds(i, 1), :]
             return 0
 
         jax.lax.fori_loop(0, 128, inner, 0, unroll=False)
         return 0
 
-    jax.lax.fori_loop(0, m // 128, outer, 0, unroll=False)
+    jax.lax.fori_loop(0, half, outer, 0, unroll=False)
+
+
+def _bwd_kernel(rows_ref, winfo_ref, g_ref, img_ref, dimg_ref, dw4_ref,
+                ddvec_ref, sc0, sc1, u0, u1, rfull_sc, hmask_sc,
+                *, heads, c, p, qb, cd):
+    m = sc0.shape[0]
+    cfull = heads * c
+    d_size = cd - cfull
+    qbp = qb * p
+
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _():
+        r_row = jax.lax.broadcasted_iota(jnp.int32, (m, qb), 0)
+        r_col = jax.lax.broadcasted_iota(jnp.int32, (m, qb), 1)
+        rfull_sc[:] = ((r_row % qbp) // p == r_col).astype(jnp.float32)
+        hm_row = jax.lax.broadcasted_iota(jnp.int32, (m, cfull), 0) // qbp
+        hm_col = jax.lax.broadcasted_iota(jnp.int32, (m, cfull), 1) // c
+        hmask_sc[:] = (hm_row == hm_col).astype(jnp.float32)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dimg_ref[:] = jnp.zeros_like(dimg_ref)
+
+    _gather_loop(rows_ref, img_ref, sc0, sc1, m)
+    winfo = winfo_ref[:]
+    dvec = _build_dvec(winfo, m, d_size)
+    # expand grad rows to sample rows, masked to each sample's head block
+    g_rows = jnp.dot(rfull_sc[:], g_ref[:], preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    gm = g_rows * hmask_sc[:]
+    _bwd_compute(sc0, sc1, winfo, dvec, gm, dw4_ref, ddvec_ref, u0, u1,
+                 cfull, d_size)
+    _scatter_loop(rows_ref, dimg_ref, u0, u1, m)
+
+
+def _bwd_kernel_s1(rows_ref, winfo_ref, g_ref, img_ref, dimg_ref, dw4_ref,
+                   ddvec_ref, sc0, sc1, u0, u1, *, cfull, cd):
+    m = sc0.shape[0]
+    d_size = cd - cfull
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dimg_ref[:] = jnp.zeros_like(dimg_ref)
+
+    _gather_loop(rows_ref, img_ref, sc0, sc1, m)
+    winfo = winfo_ref[:]
+    dvec = _build_dvec(winfo, m, d_size)
+    _bwd_compute(sc0, sc1, winfo, dvec, g_ref[:], dw4_ref, ddvec_ref, u0, u1,
+                 cfull, d_size)
+    _scatter_loop(rows_ref, dimg_ref, u0, u1, m)
 
 
 # ---------------------------------------------------------------------------
@@ -327,23 +385,30 @@ def _bwd_kernel(rows0_ref, rows1_ref, w4_ref, dvec_ref, g_ref, img_ref,
 # ---------------------------------------------------------------------------
 
 
-def _run_fwd(pair, rows0, rows1, w4, dvec, heads, c, p, qb, cd):
-    n, nblk, m = rows0.shape
+def _run_fwd(pair, rows, winfo, heads, c, p, qb, cd):
+    n, nblk, m2 = rows.shape
+    m = m2 // 2
     hwp = pair.shape[1]
     cfull = heads * c
-    kernel = functools.partial(_fwd_kernel, heads=heads, c=c, p=p, qb=qb, cd=cd)
+    s1 = heads == 1 and p == 1
+    if s1:
+        kernel = functools.partial(_fwd_kernel_s1, cfull=cfull, cd=cd)
+        extra_scratch = []
+    else:
+        kernel = functools.partial(_fwd_kernel, heads=heads, c=c, p=p, qb=qb,
+                                   cd=cd)
+        extra_scratch = [
+            pltpu.VMEM((qb, m), jnp.float32),      # rsel (persistent)
+            pltpu.VMEM((m, cfull), jnp.float32),   # head mask (persistent)
+        ]
     out = pl.pallas_call(
         kernel,
         grid=(n, nblk),
         out_shape=jax.ShapeDtypeStruct((n * nblk * qb, cfull), jnp.float32),
         in_specs=[
-            pl.BlockSpec((m // 128, 128), lambda ci, bi: (ci * nblk + bi, 0),
+            pl.BlockSpec((2 * m // 128, 128), lambda ci, bi: (ci * nblk + bi, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((m // 128, 128), lambda ci, bi: (ci * nblk + bi, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((m, 4), lambda ci, bi: (ci * nblk + bi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, cd - cfull), lambda ci, bi: (ci * nblk + bi, 0),
+            pl.BlockSpec((m, 8), lambda ci, bi: (ci * nblk + bi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((hwp, 2 * cd), lambda ci, bi: (ci, 0),
                          memory_space=pltpu.VMEM),
@@ -353,26 +418,35 @@ def _run_fwd(pair, rows0, rows1, w4, dvec, heads, c, p, qb, cd):
         scratch_shapes=[
             pltpu.VMEM((m, 2 * cd), jnp.float32),
             pltpu.VMEM((m, 2 * cd), jnp.float32),
-        ],
+        ] + extra_scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(
-        rows0.reshape(-1, 128),
-        rows1.reshape(-1, 128),
-        w4.reshape(n * nblk * m, 4),
-        dvec.reshape(n * nblk * m, -1),
+        rows.reshape(-1, 128),
+        winfo.reshape(n * nblk * m, 8),
         pair.reshape(n * hwp, 2 * cd),
     )
     return out.reshape(n, nblk * qb, cfull)
 
 
-def _run_bwd(pair, rows0, rows1, w4, dvec, g, heads, c, p, qb, cd):
-    n, nblk, m = rows0.shape
+def _run_bwd(pair, rows, winfo, g, heads, c, p, qb, cd):
+    n, nblk, m2 = rows.shape
+    m = m2 // 2
     hwp = pair.shape[1]
     cfull = heads * c
     d_size = cd - cfull
-    kernel = functools.partial(_bwd_kernel, heads=heads, c=c, p=p, qb=qb, cd=cd)
+    s1 = heads == 1 and p == 1
+    if s1:
+        kernel = functools.partial(_bwd_kernel_s1, cfull=cfull, cd=cd)
+        extra_scratch = []
+    else:
+        kernel = functools.partial(_bwd_kernel, heads=heads, c=c, p=p, qb=qb,
+                                   cd=cd)
+        extra_scratch = [
+            pltpu.VMEM((m, qb), jnp.float32),
+            pltpu.VMEM((m, cfull), jnp.float32),
+        ]
     dimg, dw4, ddvec = pl.pallas_call(
         kernel,
         grid=(n, nblk),
@@ -382,13 +456,9 @@ def _run_bwd(pair, rows0, rows1, w4, dvec, g, heads, c, p, qb, cd):
             jax.ShapeDtypeStruct((n * nblk * m, d_size), jnp.float32),
         ),
         in_specs=[
-            pl.BlockSpec((m // 128, 128), lambda ci, bi: (ci * nblk + bi, 0),
+            pl.BlockSpec((2 * m // 128, 128), lambda ci, bi: (ci * nblk + bi, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((m // 128, 128), lambda ci, bi: (ci * nblk + bi, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((m, 4), lambda ci, bi: (ci * nblk + bi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, d_size), lambda ci, bi: (ci * nblk + bi, 0),
+            pl.BlockSpec((m, 8), lambda ci, bi: (ci * nblk + bi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((qb, cfull), lambda ci, bi: (ci * nblk + bi, 0),
                          memory_space=pltpu.VMEM),
@@ -408,15 +478,13 @@ def _run_bwd(pair, rows0, rows1, w4, dvec, g, heads, c, p, qb, cd):
             pltpu.VMEM((m, 2 * cd), jnp.float32),
             pltpu.VMEM((m, 2 * cd), jnp.float32),
             pltpu.VMEM((m, 2 * cd), jnp.float32),
-        ],
+        ] + extra_scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
     )(
-        rows0.reshape(-1, 128),
-        rows1.reshape(-1, 128),
-        w4.reshape(n * nblk * m, 4),
-        dvec.reshape(n * nblk * m, -1),
+        rows.reshape(-1, 128),
+        winfo.reshape(n * nblk * m, 8),
         g,
         pair.reshape(n * hwp, 2 * cd),
     )
@@ -511,10 +579,10 @@ def _fwd_cams(value_img, dpt_img, sampling_locations, attention_weights, num_hea
     qb = _pick_qb(k, heads, p)
 
     pair = _build_pair_image(value_img, dpt_img)
-    rows0, rows1, w4, dvec, resid, kpad = _sample_quantities(
+    rows, winfo, resid, kpad = _sample_quantities(
         sampling_locations, attention_weights, h, w, d_size, qb
     )
-    out = _run_fwd(pair, rows0, rows1, w4, dvec, heads, c, p, qb, cd)
+    out = _run_fwd(pair, rows, winfo, heads, c, p, qb, cd)
     return out[:, :k].astype(value_img.dtype)
 
 
@@ -559,7 +627,7 @@ def _bwd_cams(value_img, dpt_img, sampling_locations, attention_weights, g,
     qb = _pick_qb(k, heads, p, target=2048)
 
     pair = _build_pair_image(value_img, dpt_img)
-    rows0, rows1, w4, dvec, resid, kpad = _sample_quantities(
+    rows, winfo, resid, kpad = _sample_quantities(
         sampling_locations, attention_weights, h, w, d_size, qb
     )
     (wb, attn_t, lx, ly, ld, vd0, vd1, d0c, d1c, vx0, vx1, vy0, vy1) = resid
@@ -570,7 +638,7 @@ def _bwd_cams(value_img, dpt_img, sampling_locations, attention_weights, g,
     g_flat = g.reshape(-1, cfull)
 
     dimg, dw4_flat, ddvec_flat = _run_bwd(
-        pair, rows0, rows1, w4, dvec, g_flat, heads, c, p, qb, cd
+        pair, rows, winfo, g_flat, heads, c, p, qb, cd
     )
 
     # un-pair the image gradient: d_pixel(y,x) = slotB(y, x'=x) + slotA(y, x'=x+1)
