@@ -48,7 +48,6 @@ import math
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -87,12 +86,12 @@ def _build_pair_image(value_img, dpt_img):
 
 
 def _sample_quantities(locs, attn, h, w, d_size, qb):
-    """Per-sample rows / corner weights / depth-lerp vectors, block-ordered.
+    """Per-sample rows and packed weight info, block-ordered.
 
     locs: (N, K, heads, P, 3) normalized; attn: (N, K, heads, P).
-    Returns rows0, rows1 (N, nblk, M) int32; w4 (N, nblk, M, 4) f32;
-    dvec (N, nblk, M, D) f32; lerp residuals for the bwd chain; kpad.
-    Sample order within a block is (head, query, point).
+    Returns rows (N, nblk, 2M) int32 (y0 rows then y1 rows); winfo
+    (N, nblk, M, 8) f32 = [w4 | wd0 | wd1 | d0c | d1c]; lerp residuals for
+    the bwd chain; kpad. Sample order within a block is (head, query, point).
     """
     n, k, heads, p, _ = locs.shape
     kpad = _round_up(k, qb)
