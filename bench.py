@@ -100,9 +100,9 @@ def main():
         "vs_same_chip_xla_path_measured": round(sps_40 / XLA_PATH_40VIEW, 4),
         # measured 2026-08-17 on v5e with this revision (re-measured live
         # below when the bench time budget allows):
-        "scannet_100view_eval_scenes_per_sec": 0.947,
-        "scannet200_large_40view_scenes_per_sec": 0.539,
-        "scannet_40view_visibility_budget0.5_scenes_per_sec": 3.568,
+        "scannet_100view_eval_scenes_per_sec": 0.9514,
+        "scannet200_large_40view_scenes_per_sec": 0.5449,
+        "scannet_40view_visibility_budget0.5_scenes_per_sec": 3.5827,
         "extras_kind": "cached_2026-08-17",
     }
     variants = [
