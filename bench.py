@@ -110,7 +110,7 @@ def main():
         ("scannet200_large_40view_scenes_per_sec", "scannet200_large", 40, None),
         ("scannet_40view_visibility_budget0.5_scenes_per_sec", "scannet", 40, 0.5),
     ]
-    done = 0
+    live = set()
     for key, cfg_name, n_views, budget in variants:
         if time.perf_counter() - t0 > deadline - 240:
             log(f"deadline: skipping re-measure of {key}")
@@ -118,11 +118,16 @@ def main():
         t = scene_time(cfg_name, n_views, visibility_budget=budget)
         log(f"{key}: {t:.3f}s/scene")
         extra[key] = round(1.0 / t, 4)
-        done += 1
-    if done == len(variants):
+        live.add(key)
+    if len(live) == len(variants):
         extra["extras_kind"] = "measured_live"
-    extra["scannet_100view_vs_baseline_est"] = round(
-        extra["scannet_100view_eval_scenes_per_sec"] / REF_EST_100VIEW, 4)
+    # derived ratio: only pair a live numerator with the estimate denominator;
+    # a cached numerator gets an explicitly _cached-suffixed key
+    ratio = round(extra["scannet_100view_eval_scenes_per_sec"] / REF_EST_100VIEW, 4)
+    if "scannet_100view_eval_scenes_per_sec" in live:
+        extra["scannet_100view_vs_baseline_est"] = ratio
+    else:
+        extra["scannet_100view_vs_baseline_est_cached"] = ratio
 
     print(json.dumps({
         "metric": "multiview_scenes_per_sec_40views",

@@ -31,6 +31,9 @@ def parse_args(argv=None):
     p.add_argument("--ckpt_path", default=None, help="orbax checkpoint to eval")
     p.add_argument("--load_from", default=None,
                    help="warm start: orbax dir or released torch .ckpt/.pth")
+    p.add_argument("--resume", action="store_true",
+                   help="resume params+opt_state+step from the newest "
+                        "checkpoint in this run's log folder")
     p.add_argument("--pretrained_backbone", default=None,
                    help="torchvision resnet50 .pth for ImageNet backbone init "
                         "(configs/SGCDet_ScanNet.py:76)")
@@ -98,29 +101,43 @@ def build_dataset_and_loader(config, train, batch_size, num_workers, seed,
 
 
 def run_eval(config, model, params, batch_stats, dataset, logger=None, step=0,
-             show_dir=None, num_workers=4):
-    """Full-dataset inference + indoor mAP (pl_model.py:76-90)."""
+             show_dir=None, num_workers=4, host_id=0, num_hosts=1,
+             gather_dir=None, gather_timeout=3600):
+    """Full-dataset inference + indoor mAP (pl_model.py:76-90).
+
+    Multi-host: each host evaluates the `host_id::num_hosts` slice of the val
+    set and writes its detections to `gather_dir`; host 0 waits for every
+    shard, merges in scene order, and computes the metric (the reference
+    evaluates the full val set on rank 0 only, pl_model.py:59-74 — here the
+    device compute is sharded and only the cheap host-side matching is
+    centralized). Hosts != 0 return None.
+    """
     import jax
     from .eval import indoor_eval
     from .geometry import DepthBoxes3D
     from .models.det_head import decode_bboxes
     from .train.loop import make_eval_step
 
+    if num_hosts > 1 and gather_dir is None:
+        raise ValueError("multi-host eval needs a shared gather_dir")
+    indices = list(range(host_id, len(dataset), num_hosts))
     eval_fn = make_eval_step(model, config)
     dt_annos, gt_annos = [], []
 
     # prefetch scene decode (JPEG-bound on host) behind device compute
     import concurrent.futures as cf
 
-    pool = cf.ThreadPoolExecutor(max_workers=num_workers)
-    window = 2 * num_workers
-    futures = {i: pool.submit(dataset.__getitem__, i)
-               for i in range(min(window, len(dataset)))}
-    for i in range(len(dataset)):
-        scene = futures.pop(i).result()
-        nxt = i + window
-        if nxt < len(dataset) and nxt not in futures:
-            futures[nxt] = pool.submit(dataset.__getitem__, nxt)
+    # num_workers<=0 is a supported SceneLoader value; here it means "no
+    # prefetch parallelism" — keep one worker so the pool stays valid.
+    pool = cf.ThreadPoolExecutor(max_workers=max(1, num_workers))
+    window = max(1, 2 * num_workers)
+    futures = {p: pool.submit(dataset.__getitem__, indices[p])
+               for p in range(min(window, len(indices)))}
+    for p in range(len(indices)):
+        scene = futures.pop(p).result()
+        nxt = p + window
+        if nxt < len(indices) and nxt not in futures:
+            futures[nxt] = pool.submit(dataset.__getitem__, indices[nxt])
         scene_dev = {
             k: scene[k] for k in ("imgs", "proj_img", "proj_feat4", "origin")
         }
@@ -137,6 +154,7 @@ def run_eval(config, model, params, batch_stats, dataset, logger=None, step=0,
         )
         dt_annos.append(dict(boxes_3d=det, scores_3d=scores, labels_3d=labels))
         gt_annos.append(dataset.gt_anno(scene["index"]))
+        i = indices[p]
         if show_dir is not None:
             from .utils import dump_show_results
             from .geometry import DepthBoxes3D as _DB
@@ -150,6 +168,27 @@ def run_eval(config, model, params, batch_stats, dataset, logger=None, step=0,
                 origin=(0.5, 0.5, 0.5),
             ) if gt["gt_num"] else None
             dump_show_results(show_dir, f"{i:05d}", det, scores, labels, gt_boxes)
+            # per-view wireframe renders (the reference's show_2d,
+            # dataset_wrappers.py:144-167)
+            from .utils.visualize import denormalize_images, draw_scene_2d
+
+            imgs_u8 = denormalize_images(
+                scene["imgs"], config.data.mean, config.data.std
+            )
+            draw_scene_2d(str(show_dir), f"{i:05d}", imgs_u8,
+                          np.asarray(scene["proj_img"]), det, labels, gt_boxes)
+    pool.shutdown(wait=False)
+    if num_hosts > 1:
+        from .eval.gather import gather_detections
+
+        merged = gather_detections(
+            gather_dir, host_id, num_hosts, indices, dt_annos,
+            timeout=gather_timeout,
+        )
+        if merged is None:  # host != 0: detections shipped, metric on host 0
+            return None
+        dt_annos = merged
+        gt_annos = [dataset.gt_anno(i) for i in range(len(dataset))]
     label2cat = dict(enumerate(config.data.classes))
     ret = indoor_eval(gt_annos, dt_annos, [0.25, 0.5], label2cat)
     if logger is not None:
@@ -226,6 +265,14 @@ def main(argv=None):
 
             state = restore_checkpoint(args.load_from, state)
 
+    if args.resume:
+        from .train.checkpoint import latest_checkpoint, restore_checkpoint
+
+        last = latest_checkpoint(str(log_dir / "ckpt"))
+        if last is not None:
+            state = restore_checkpoint(last, state)
+            print(f"resumed from {last} (step {int(state.step)})", flush=True)
+
     if args.mode in ("eval", "show"):
         val_ds, _ = build_dataset_and_loader(config, False, 1, 0, args.seed)
         show_dir = None
@@ -233,8 +280,12 @@ def main(argv=None):
             show_dir = log_dir / "show"
             show_dir.mkdir(exist_ok=True)
         ret = run_eval(config, model, state.params, state.batch_stats, val_ds,
-                       logger, 0, show_dir)
-        print(json.dumps({k: v for k, v in ret.items() if k.startswith("mA")}))
+                       logger, 0, show_dir,
+                       host_id=jax.process_index(), num_hosts=jax.process_count(),
+                       gather_dir=str(log_dir / "eval_gather" / "step_0"))
+        if ret is not None:  # hosts != 0 ship detections and return None
+            print(json.dumps(
+                {k: v for k, v in ret.items() if k.startswith("mA")}))
         return ret
 
     # ---- train ----
@@ -246,8 +297,11 @@ def main(argv=None):
 
     total_steps = args.max_steps or config.train.training_steps
     rng = jax.random.PRNGKey(args.seed)
-    step = 0
-    epoch = 0
+    step = int(jax.device_get(state.step))
+    steps_per_epoch = max(1, len(train_loader))
+    epoch = step // steps_per_epoch
+    train_loader.epoch = epoch  # keep the shuffle order on the resumed epoch
+    rng = jax.random.fold_in(rng, step)
     t_last = time.time()
     profiled = False
     val_ds_cache = None
@@ -286,7 +340,9 @@ def main(argv=None):
                 val_ds_cache, _ = build_dataset_and_loader(
                     config, False, 1, 0, args.seed)
             run_eval(config, model, state.params, state.batch_stats,
-                     val_ds_cache, logger, step, num_workers=args.num_workers)
+                     val_ds_cache, logger, step, num_workers=args.num_workers,
+                     host_id=jax.process_index(), num_hosts=jax.process_count(),
+                     gather_dir=str(log_dir / "eval_gather" / f"step_{step}"))
     save_checkpoint(str(log_dir / "ckpt"), jax.device_get(state), step)
 
 

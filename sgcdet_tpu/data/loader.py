@@ -61,6 +61,15 @@ class SceneLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.epoch = 0
+        self._ex: ThreadPoolExecutor | None = None  # lazily built, reused across epochs
+
+    def close(self):
+        if self._ex is not None:
+            self._ex.shutdown(wait=False)
+            self._ex = None
+
+    def __del__(self):
+        self.close()
 
     def _epoch_indices(self):
         idx = np.tile(np.arange(len(self.ds)), self.repeat_times)
@@ -101,7 +110,9 @@ class SceneLoader:
             return
 
         # per-scene futures, bounded in-flight window, in-order assembly
-        ex = ThreadPoolExecutor(max_workers=self.num_workers)
+        if self._ex is None:
+            self._ex = ThreadPoolExecutor(max_workers=self.num_workers)
+        ex = self._ex
         window = 2 * self.num_workers + self.batch_size
         futs: deque = deque()
         submitted = 0
@@ -122,9 +133,9 @@ class SceneLoader:
                     submit_more()
                 yield self._collate(scenes)
         finally:
+            # keep the pool alive for the next epoch; just drop leftover work
             for f in futs:
                 f.cancel()
-            ex.shutdown(wait=False)
 
     def __len__(self):
         n = len(self._epoch_indices())

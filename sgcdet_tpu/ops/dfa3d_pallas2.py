@@ -1,0 +1,580 @@
+"""Fused DFA3D sampling, v2 Pallas kernel: per-head quad-corner rows.
+
+Drop-in faster replacement for the multi-head path of ``dfa3d_pallas.py``
+(same math, same oracle: ``msda.dfa3d_attention``; reference CUDA semantics
+in /root/reference/packages/3D-deformable-attention/DFA3D/dfa3D/ops/csrc/
+common/cuda/wms_deform_attn_cuda_kernel.cuh:24-159).
+
+What changed vs v1 and why (all rates measured on v5e, see
+experiments/gather_probe6.py):
+
+* v1 rows hold ALL heads' channels side by side (536 lanes for C=256, D=12),
+  so every (query, head, point) sample gathers 8x the channels it needs, and
+  needs TWO row gathers (y0/y1 pair rows).  v2 stores, per (camera, head), a
+  **quad-corner image**: row (y', x') = the four bilinear corners A,B,C,D of
+  the footprint whose top-left pixel is (y'-1, x'-1), i.e.
+  ``[vA|vB|vC|vD|dA|dB|dC|dD]`` with c value lanes per corner and D depth
+  lanes per corner.  One sample = ONE gather of 4*(c+D) lanes (176 for the
+  released configs).
+* v1 reduced (head, query, point) sample rows onto queries with an MXU
+  selection matmul (f32 HIGHEST — ~18 ms at the finest ScanNet level) plus a
+  head-mask multiply.  v2 orders samples point-major within the block and
+  accumulates the P per-point contributions with plain VPU adds — no matmul,
+  no head mask — because a block is (camera, head)-homogeneous.
+* Grid is (num_cams * heads, query_blocks): the per-(cam, head) quad image is
+  DMA'd once and revisited across query blocks; blocks are sized large
+  (qb*P ~ 25k samples) to amortize the ~15 us/grid-step pipeline overhead
+  that dominated v1's 2000-step grid.
+
+The backward re-gathers the same rows, computes per-corner gradients
+vectorized, and scatter-adds one 4-corner update row per sample into a
+quad-layout gradient image that is un-quadded outside the kernel (each pixel
+sums its four corner slots from the four neighboring quad rows).  Location /
+attention-weight gradients chain through plain XLA outside, identical to v1.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .dfa3d_pallas import _pick_cam_chunk, _round_up
+
+
+# ---------------------------------------------------------------------------
+# host-side prep (plain XLA, fused into the surrounding jit)
+# ---------------------------------------------------------------------------
+
+
+def _build_quad_image(value_img, dpt_img, heads):
+    """(N, H, W, heads*c) + (N, H, W, D) -> (N*heads, Rq, 4*(c+D)) f32.
+
+    Row (y', x'), y' in 0..H, x' in 0..W, holds corners
+    A=(y'-1, x'-1), B=(y'-1, x'), C=(y', x'-1), D=(y', x') (edge-duplicated
+    out of range; those slots are only ever read/written with zero weight).
+    Rq = (H+1)*(W+1) padded up to a multiple of 8.
+    """
+    n, h, w, cfull = value_img.shape
+    c = cfull // heads
+    d = dpt_img.shape[-1]
+    v = value_img.astype(jnp.float32).reshape(n, h, w, heads, c)
+    v = jnp.moveaxis(v, 3, 1)  # (N, heads, H, W, c)
+    vp = jnp.pad(v, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    quad_v = jnp.concatenate(
+        [
+            vp[:, :, : h + 1, : w + 1],     # A = (y'-1, x'-1)
+            vp[:, :, : h + 1, 1: w + 2],    # B = (y'-1, x')
+            vp[:, :, 1: h + 2, : w + 1],    # C = (y', x'-1)
+            vp[:, :, 1: h + 2, 1: w + 2],   # D = (y', x')
+        ],
+        axis=-1,
+    )  # (N, heads, H+1, W+1, 4c)
+    dp = dpt_img.astype(jnp.float32)
+    dpp = jnp.pad(dp, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    quad_d = jnp.concatenate(
+        [
+            dpp[:, : h + 1, : w + 1],
+            dpp[:, : h + 1, 1: w + 2],
+            dpp[:, 1: h + 2, : w + 1],
+            dpp[:, 1: h + 2, 1: w + 2],
+        ],
+        axis=-1,
+    )  # (N, H+1, W+1, 4D)
+    quad_d = jnp.broadcast_to(quad_d[:, None], (n, heads) + quad_d.shape[1:])
+    quad = jnp.concatenate([quad_v, quad_d], axis=-1)
+    rq = (h + 1) * (w + 1)
+    quad = quad.reshape(n * heads, rq, 4 * (c + d))
+    rq_pad = _round_up(rq, 8)
+    if rq_pad != rq:
+        quad = jnp.pad(quad, ((0, 0), (0, rq_pad - rq), (0, 0)))
+    return quad
+
+
+def _sample_quantities_v2(locs, attn, h, w, d_size, qb):
+    """Quad-row indices + packed weights, point-major block order.
+
+    locs: (N, K, heads, P, 3) normalized; attn: (N, K, heads, P).
+    Returns rows (N*heads, nblk, P*qb) int32, winfo (N*heads, nblk, P*qb, 8)
+    f32 = [w4 | wd0 | wd1 | d0c | d1c], residuals for the outer VJP chain,
+    and kpad.  Sample (head, blk, point, query) maps to flat position
+    ((head*nblk + blk)*P + point)*qb + query.
+    """
+    n, k, heads, p, _ = locs.shape
+    kpad = _round_up(k, qb)
+    locs = jnp.moveaxis(locs, 2, 1)  # (N, heads, K, P, 3)
+    attn = jnp.moveaxis(attn, 2, 1)  # (N, heads, K, P)
+    if kpad != k:
+        locs = jnp.pad(locs, ((0, 0), (0, 0), (0, kpad - k), (0, 0), (0, 0)))
+        attn = jnp.pad(attn, ((0, 0), (0, 0), (0, kpad - k), (0, 0)))
+    locs = locs.astype(jnp.float32)
+    attn = attn.astype(jnp.float32)
+
+    u = jnp.clip(locs[..., 0] * w - 0.5, -4.0, w + 4.0)
+    v = jnp.clip(locs[..., 1] * h - 0.5, -4.0, h + 4.0)
+    d = jnp.clip(locs[..., 2] * d_size - 0.5, -4.0, d_size + 4.0)
+    x0f = jnp.floor(u)
+    y0f = jnp.floor(v)
+    d0f = jnp.floor(d)
+    lx = u - x0f
+    ly = v - y0f
+    ld = d - d0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    d0 = d0f.astype(jnp.int32)
+
+    vx0 = (x0 >= 0) & (x0 <= w - 1)
+    vx1 = (x0 + 1 >= 0) & (x0 + 1 <= w - 1)
+    vy0 = (y0 >= 0) & (y0 <= h - 1)
+    vy1 = (y0 + 1 >= 0) & (y0 + 1 <= h - 1)
+    wb = jnp.stack(
+        [
+            (1 - ly) * (1 - lx) * (vy0 & vx0),
+            (1 - ly) * lx * (vy0 & vx1),
+            ly * (1 - lx) * (vy1 & vx0),
+            ly * lx * (vy1 & vx1),
+        ],
+        axis=-1,
+    )  # (N, heads, Kpad, P, 4)
+    w4 = wb * attn[..., None]
+
+    # quad row (y', x') = (y0+1, x0+1), clipped into the (H+1)x(W+1) grid
+    yq = jnp.clip(y0 + 1, 0, h)
+    xq = jnp.clip(x0 + 1, 0, w)
+    rows = yq * (w + 1) + xq  # (N, heads, Kpad, P)
+
+    vd0 = (d0 >= 0) & (d0 <= d_size - 1)
+    vd1 = (d0 + 1 >= 0) & (d0 + 1 <= d_size - 1)
+    d0c = jnp.clip(d0, 0, d_size - 1)
+    d1c = jnp.clip(d0 + 1, 0, d_size - 1)
+    wd0 = jnp.where(vd0, 1 - ld, 0.0)
+    wd1 = jnp.where(vd1, ld, 0.0)
+    winfo = jnp.concatenate(
+        [
+            w4,
+            wd0[..., None], wd1[..., None],
+            d0c.astype(jnp.float32)[..., None],
+            d1c.astype(jnp.float32)[..., None],
+        ],
+        axis=-1,
+    )  # (N, heads, Kpad, P, 8)
+
+    nblk = kpad // qb
+
+    def blockify(x, lanes):
+        # (N, heads, Kpad, P[, lanes]) -> (N*heads, nblk, P*qb[, lanes])
+        shp = (n, heads, nblk, qb) + x.shape[3:]
+        x = x.reshape(shp)
+        x = jnp.moveaxis(x, 4, 3)  # (N, heads, nblk, P, qb, ...)
+        return x.reshape((n * heads, nblk, p * qb) + ((lanes,) if lanes else ()))
+
+    rows_b = blockify(rows, None)
+    winfo_b = blockify(winfo, 8)
+    resid = (wb, attn, lx, ly, ld, vd0, vd1, d0c, d1c, vx0, vx1, vy0, vy1)
+    return rows_b, winfo_b, resid, kpad
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+
+def _gather_loop_v2(rows_ref, img_ref, sc, m):
+    """One single-row dynamic-slice copy per sample, add-only index math."""
+    half = m // 128
+
+    def outer(j, _):
+        base = j * 128
+
+        def inner(l, _):
+            i = base + l
+            sc[pl.ds(i, 1), :] = img_ref[pl.ds(rows_ref[j, l], 1), :]
+            return 0
+
+        jax.lax.fori_loop(0, 128, inner, 0, unroll=False)
+        return 0
+
+    jax.lax.fori_loop(0, half, outer, 0, unroll=False)
+
+
+def _dvec(winfo, rows, d_size):
+    iota = jax.lax.broadcasted_iota(jnp.int32, (rows, d_size), 1).astype(jnp.float32)
+    return (
+        jnp.where(iota == winfo[:, 6:7], winfo[:, 4:5], 0.0)
+        + jnp.where(iota == winfo[:, 7:8], winfo[:, 5:6], 0.0)
+    )
+
+
+def _point_contrib(s, winfo, c, d_size, qb):
+    """One point's contribution (qb, c) + (per-corner ds, vals) for the bwd."""
+    dvec = _dvec(winfo, qb, d_size)
+    contrib = None
+    ds_list = []
+    vals = []
+    for j in range(4):
+        vj = s[:, j * c:(j + 1) * c]
+        dj = s[:, 4 * c + j * d_size: 4 * c + (j + 1) * d_size]
+        dsj = jnp.sum(dj * dvec, axis=1, keepdims=True)
+        term = (winfo[:, j:j + 1] * dsj) * vj
+        contrib = term if contrib is None else contrib + term
+        ds_list.append(dsj)
+        vals.append(vj)
+    return contrib, dvec, ds_list, vals
+
+
+def _fwd_kernel_v2(rows_ref, winfo_ref, img_ref, out_ref, sc, *, c, p, qb, d_size):
+    m = p * qb
+    _gather_loop_v2(rows_ref, img_ref, sc, m)
+    acc = None
+    for j in range(p):
+        s = sc[j * qb:(j + 1) * qb, :]
+        winfo = winfo_ref[j * qb:(j + 1) * qb, :]
+        contrib, _, _, _ = _point_contrib(s, winfo, c, d_size, qb)
+        acc = contrib if acc is None else acc + contrib
+    out_ref[:] = acc
+
+
+def _bwd_kernel_v2(rows_ref, winfo_ref, g_ref, img_ref, dimg_ref, dw4_ref,
+                   ddvec_ref, sc, u, *, c, p, qb, d_size):
+    m = p * qb
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dimg_ref[:] = jnp.zeros_like(dimg_ref)
+
+    _gather_loop_v2(rows_ref, img_ref, sc, m)
+    g = g_ref[:]  # (qb, c)
+    for j in range(p):
+        s = sc[j * qb:(j + 1) * qb, :]
+        winfo = winfo_ref[j * qb:(j + 1) * qb, :]
+        _, dvec, ds_list, vals = _point_contrib(s, winfo, c, d_size, qb)
+        t_list = [jnp.sum(v * g, axis=1, keepdims=True) for v in vals]
+        dw4_ref[j * qb:(j + 1) * qb, :] = jnp.concatenate(
+            [ds_list[i] * t_list[i] for i in range(4)], axis=1
+        )
+        ddvec = None
+        for i in range(4):
+            dj = s[:, 4 * c + i * d_size: 4 * c + (i + 1) * d_size]
+            term = (winfo[:, i:i + 1] * t_list[i]) * dj
+            ddvec = term if ddvec is None else ddvec + term
+        ddvec_ref[j * qb:(j + 1) * qb, :] = ddvec
+        upd = jnp.concatenate(
+            [(winfo[:, i:i + 1] * ds_list[i]) * g for i in range(4)]
+            + [(winfo[:, i:i + 1] * t_list[i]) * dvec for i in range(4)],
+            axis=1,
+        )
+        u[j * qb:(j + 1) * qb, :] = upd
+
+    half = m // 128
+
+    def outer(j, _):
+        base = j * 128
+
+        def inner(l, _):
+            i = base + l
+            dimg_ref[pl.ds(rows_ref[j, l], 1), :] += u[pl.ds(i, 1), :]
+            return 0
+
+        jax.lax.fori_loop(0, 128, inner, 0, unroll=False)
+        return 0
+
+    jax.lax.fori_loop(0, half, outer, 0, unroll=False)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+
+def _pick_qb_v2(k, p, target=32768, bwd=False):
+    """qb: query block size; P*qb samples per grid step, qb % 8 == 0 and
+    P*qb % 1024 == 0 (SMEM row blocks are (m//128, 128); the gather loop
+    wants full 128-lane groups)."""
+    step = 1024 // jnp.gcd(jnp.int32(p), 1024).item() if False else None
+    # static python math (p is a python int)
+    import math as _math
+
+    step = 1024 // _math.gcd(p, 1024)
+    budget = target // 2 if bwd else target
+    max_qb = max(step, (budget // p) // step * step)
+    max_qb = min(max_qb, _round_up(k, step))
+    for cand in range(max_qb, step - 1, -step):
+        if k % cand == 0:
+            return cand
+    return max_qb
+
+
+def _run_fwd_v2(quad, rows, winfo, heads, c, p, qb, d_size):
+    nh, nblk, m = rows.shape
+    rq = quad.shape[1]
+    width = 4 * (c + d_size)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_v2, c=c, p=p, qb=qb, d_size=d_size),
+        grid=(nh, nblk),
+        out_shape=jax.ShapeDtypeStruct((nh * nblk * qb, c), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((m // 128, 128), lambda ci, bi: (ci * nblk + bi, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((m, 8), lambda ci, bi: (ci * nblk + bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rq, width), lambda ci, bi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((qb, c), lambda ci, bi: (ci * nblk + bi, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((m, width), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(
+        rows.reshape(-1, 128),
+        winfo.reshape(nh * nblk * m, 8),
+        quad.reshape(nh * rq, width),
+    )
+    return out  # (nh*nblk*qb, c)
+
+
+def _run_bwd_v2(quad, rows, winfo, g, heads, c, p, qb, d_size):
+    nh, nblk, m = rows.shape
+    rq = quad.shape[1]
+    width = 4 * (c + d_size)
+    dquad, dw4, ddvec = pl.pallas_call(
+        functools.partial(_bwd_kernel_v2, c=c, p=p, qb=qb, d_size=d_size),
+        grid=(nh, nblk),
+        out_shape=(
+            jax.ShapeDtypeStruct((nh * rq, width), jnp.float32),
+            jax.ShapeDtypeStruct((nh * nblk * m, 4), jnp.float32),
+            jax.ShapeDtypeStruct((nh * nblk * m, d_size), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec((m // 128, 128), lambda ci, bi: (ci * nblk + bi, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((m, 8), lambda ci, bi: (ci * nblk + bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qb, c), lambda ci, bi: (ci * nblk + bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rq, width), lambda ci, bi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((rq, width), lambda ci, bi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, 4), lambda ci, bi: (ci * nblk + bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, d_size), lambda ci, bi: (ci * nblk + bi, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((m, width), jnp.float32),
+            pltpu.VMEM((m, width), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+    )(
+        rows.reshape(-1, 128),
+        winfo.reshape(nh * nblk * m, 8),
+        g,
+        quad.reshape(nh * rq, width),
+    )
+    return dquad.reshape(nh, rq, width), dw4, ddvec
+
+
+# ---------------------------------------------------------------------------
+# public op with custom VJP (multi-head path; heads*P > 1)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def dfa3d_attention_pallas_v2(value_img, dpt_img, sampling_locations,
+                              attention_weights, num_heads):
+    """Fused depth-weighted deformable attention, quad-corner-row kernel.
+
+    Args:
+      value_img: (N, H, W, heads*c) camera features.
+      dpt_img: (N, H, W, D) depth distributions.
+      sampling_locations: (N, K, heads, P, 3) normalized (u, v, d).
+      attention_weights: (N, K, heads, P).
+      num_heads: static head count.
+    Returns (N, K, heads*c), dtype of value_img.
+    """
+    out, _ = _fwd_impl_v2(value_img, dpt_img, sampling_locations,
+                          attention_weights, num_heads)
+    return out
+
+
+def _fwd_impl_v2(value_img, dpt_img, sampling_locations, attention_weights,
+                 num_heads):
+    n, k = sampling_locations.shape[:2]
+    hp = sampling_locations.shape[2] * sampling_locations.shape[3]
+    chunk = _pick_cam_chunk(n, k * hp)
+    if chunk == n:
+        out = _fwd_cams_v2(value_img, dpt_img, sampling_locations,
+                           attention_weights, num_heads)
+    else:
+        groups = n // chunk
+
+        def body(args):
+            return _fwd_cams_v2(*args, num_heads)
+
+        out = jax.lax.map(
+            body,
+            tuple(
+                x.reshape((groups, chunk) + x.shape[1:])
+                for x in (value_img, dpt_img, sampling_locations,
+                          attention_weights)
+            ),
+        )
+        out = out.reshape((n,) + out.shape[2:])
+    return out, (value_img, dpt_img, sampling_locations, attention_weights)
+
+
+def _fwd_cams_v2(value_img, dpt_img, sampling_locations, attention_weights,
+                 num_heads):
+    n, h, w, cfull = value_img.shape
+    d_size = dpt_img.shape[-1]
+    k = sampling_locations.shape[1]
+    p = sampling_locations.shape[3]
+    heads = num_heads
+    c = cfull // heads
+    qb = _pick_qb_v2(k, p)
+
+    quad = _build_quad_image(value_img, dpt_img, heads)
+    rows, winfo, _, kpad = _sample_quantities_v2(
+        sampling_locations, attention_weights, h, w, d_size, qb
+    )
+    out = _run_fwd_v2(quad, rows, winfo, heads, c, p, qb, d_size)
+    out = out.reshape(n, heads, kpad, c)[:, :, :k]
+    out = jnp.moveaxis(out, 1, 2).reshape(n, k, heads * c)
+    return out.astype(value_img.dtype)
+
+
+def _vjp_fwd_v2(value_img, dpt_img, sampling_locations, attention_weights,
+                num_heads):
+    return _fwd_impl_v2(value_img, dpt_img, sampling_locations,
+                        attention_weights, num_heads)
+
+
+def _vjp_bwd_v2(num_heads, res, g):
+    value_img, dpt_img, sampling_locations, attention_weights = res
+    n, k = sampling_locations.shape[:2]
+    hp = sampling_locations.shape[2] * sampling_locations.shape[3]
+    chunk = _pick_cam_chunk(n, k * hp)
+    if chunk == n:
+        return _bwd_cams_v2(value_img, dpt_img, sampling_locations,
+                            attention_weights, g, num_heads)
+    groups = n // chunk
+
+    def body(args):
+        return _bwd_cams_v2(*args[:4], args[4], num_heads)
+
+    grads = jax.lax.map(
+        body,
+        tuple(
+            x.reshape((groups, chunk) + x.shape[1:])
+            for x in (value_img, dpt_img, sampling_locations,
+                      attention_weights, g)
+        ),
+    )
+    return tuple(x.reshape((n,) + x.shape[2:]) for x in grads)
+
+
+def _bwd_cams_v2(value_img, dpt_img, sampling_locations, attention_weights, g,
+                 num_heads):
+    n, h, w, cfull = value_img.shape
+    d_size = dpt_img.shape[-1]
+    k = sampling_locations.shape[1]
+    p = sampling_locations.shape[3]
+    heads = num_heads
+    c = cfull // heads
+    qb = _pick_qb_v2(k, p, bwd=True)
+
+    quad = _build_quad_image(value_img, dpt_img, heads)
+    rows, winfo, resid, kpad = _sample_quantities_v2(
+        sampling_locations, attention_weights, h, w, d_size, qb
+    )
+    (wb, attn_t, lx, ly, ld, vd0, vd1, d0c, d1c, vx0, vx1, vy0, vy1) = resid
+
+    # incoming grad (N, K, heads*c) -> per-(cam, head) query-block rows
+    g = g.astype(jnp.float32)
+    if kpad != k:
+        g = jnp.pad(g, ((0, 0), (0, kpad - k), (0, 0)))
+    g_b = jnp.moveaxis(g.reshape(n, kpad, heads, c), 2, 1)  # (N, heads, Kpad, c)
+    g_flat = g_b.reshape(-1, c)
+
+    dquad, dw4_flat, ddvec_flat = _run_bwd_v2(
+        quad, rows, winfo, g_flat, heads, c, p, qb, d_size
+    )
+
+    # un-quad: pixel (y, x) sums its four corner slots from neighboring rows
+    rq = (h + 1) * (w + 1)
+    dquad = dquad[:, :rq].reshape(n, heads, h + 1, w + 1, 4 * (c + d_size))
+    cA, cB, cC, cD = (dquad[..., i * c:(i + 1) * c] for i in range(4))
+    d_off = 4 * c
+    dA, dB, dC, dD = (
+        dquad[..., d_off + i * d_size: d_off + (i + 1) * d_size]
+        for i in range(4)
+    )
+    d_value = (
+        cA[:, :, 1:, 1:] + cB[:, :, 1:, :-1] + cC[:, :, :-1, 1:]
+        + cD[:, :, :-1, :-1]
+    )  # (N, heads, H, W, c)
+    d_value = jnp.moveaxis(d_value, 1, 3).reshape(n, h, w, cfull)
+    d_dpt = (
+        dA[:, :, 1:, 1:] + dB[:, :, 1:, :-1] + dC[:, :, :-1, 1:]
+        + dD[:, :, :-1, :-1]
+    ).sum(axis=1)  # depth dist shared across heads
+
+    # de-blockify sample grads to (N, heads, Kpad, P, lanes)
+    nblk = kpad // qb
+
+    def unblock(x, lanes):
+        x = x.reshape(n, heads, nblk, p, qb, lanes)
+        x = jnp.moveaxis(x, 3, 4)  # (N, heads, nblk, qb, P, lanes)
+        return x.reshape(n, heads, kpad, p, lanes)
+
+    dw4 = unblock(dw4_flat, 4)
+    ddvec = unblock(ddvec_flat, d_size)
+
+    d_attn = jnp.sum(dw4 * wb, axis=-1)
+    d_wb = dw4 * attn_t[..., None]
+    va = (vy0 & vx0).astype(jnp.float32)
+    vb = (vy0 & vx1).astype(jnp.float32)
+    vc = (vy1 & vx0).astype(jnp.float32)
+    vd_ = (vy1 & vx1).astype(jnp.float32)
+    d_lx = (
+        -d_wb[..., 0] * (1 - ly) * va
+        + d_wb[..., 1] * (1 - ly) * vb
+        - d_wb[..., 2] * ly * vc
+        + d_wb[..., 3] * ly * vd_
+    )
+    d_ly = (
+        -d_wb[..., 0] * (1 - lx) * va
+        - d_wb[..., 1] * lx * vb
+        + d_wb[..., 2] * (1 - lx) * vc
+        + d_wb[..., 3] * lx * vd_
+    )
+    du = d_lx * w
+    dv = d_ly * h
+    oh0 = jax.nn.one_hot(d0c, d_size, dtype=jnp.float32)
+    oh1 = jax.nn.one_hot(d1c, d_size, dtype=jnp.float32)
+    ddvec_dld = -oh0 * vd0[..., None].astype(jnp.float32) + oh1 * vd1[
+        ..., None
+    ].astype(jnp.float32)
+    d_ld = jnp.sum(ddvec * ddvec_dld, axis=-1)
+    dd = d_ld * d_size
+
+    d_locs = jnp.stack([du, dv, dd], axis=-1)
+    d_locs = jnp.moveaxis(d_locs, 1, 2)[:, :k]
+    d_attn = jnp.moveaxis(d_attn, 1, 2)[:, :k]
+    return (
+        d_value.astype(value_img.dtype),
+        d_dpt.astype(dpt_img.dtype),
+        d_locs.astype(sampling_locations.dtype),
+        d_attn.astype(attention_weights.dtype),
+    )
+
+
+dfa3d_attention_pallas_v2.defvjp(_vjp_fwd_v2, _vjp_bwd_v2)

@@ -25,12 +25,44 @@ except Exception:  # pragma: no cover
 
 
 def save_checkpoint(path, state, step=None):
+    """Save one per-step checkpoint dir and update the `last` pointer.
+
+    Mirrors the reference's ModelCheckpoint(every_n_epochs=1, save_top_k=-1,
+    save_last=True) retention (main.py:55-61): every epoch's checkpoint is
+    kept and `last` names the newest for auto-resume.
+    """
+    import os
+
+    n = int(step if step is not None else state.step)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(
-        f"{path}/step_{int(step if step is not None else state.step)}",
-        jax.tree_util.tree_map(np.asarray, state),
-    )
+    ckptr.save(f"{path}/step_{n}", jax.tree_util.tree_map(np.asarray, state))
     ckptr.wait_until_finished()
+    tmp = f"{path}/last.tmp"
+    with open(tmp, "w") as f:
+        f.write(f"step_{n}")
+    os.replace(tmp, f"{path}/last")
+
+
+def latest_checkpoint(path):
+    """Newest checkpoint dir under `path` (via the `last` pointer, falling
+    back to the max step_N dir), or None if none exists."""
+    import os
+
+    if not os.path.isdir(path):
+        return None
+    pointer = os.path.join(path, "last")
+    if os.path.isfile(pointer):
+        name = open(pointer).read().strip()
+        cand = os.path.join(path, name)
+        if os.path.isdir(cand):
+            return cand
+    steps = []
+    for name in os.listdir(path):
+        if name.startswith("step_") and name[5:].isdigit():
+            steps.append(int(name[5:]))
+    if not steps:
+        return None
+    return os.path.join(path, f"step_{max(steps)}")
 
 
 def restore_checkpoint(path, abstract_state):

@@ -92,9 +92,11 @@ def make_train_step(model, config, tx, mesh: Mesh | None = None, axis_name="data
     leading axis must equal mesh size). Without: single-device, batch size 1.
     """
     use_mesh = mesh is not None
-    set_bn_sync_axis(axis_name if use_mesh else None)
 
     def device_step(state, scene, rng):
+        # read at trace time by BatchNorm — set here (not at factory time) so
+        # interleaved construction of other step kinds can't clobber it
+        set_bn_sync_axis(axis_name if use_mesh else None)
         loss_fn = _scene_loss(
             model, config, state.params, state.batch_stats, scene, rng,
             axis_name if use_mesh else None,
@@ -167,7 +169,6 @@ def make_view_sharded_train_step(model, config, tx, mesh, axis_name="view"):
     Returns step_fn(state, scene, rng) -> (state, metrics) where `scene` is
     an UNbatched scene dict (view-major arrays).
     """
-    set_bn_sync_axis(None)  # stats reduce over the (globally sharded) view axis
     view = NamedSharding(mesh, P(axis_name))
     repl = NamedSharding(mesh, P())
 
@@ -177,6 +178,8 @@ def make_view_sharded_train_step(model, config, tx, mesh, axis_name="view"):
         return {k: (view if k in view_keys else repl) for k in scene}
 
     def _step(state, scene, rng):
+        # BN stats reduce over the (globally sharded) view axis — no pmean
+        set_bn_sync_axis(None)
         loss_fn = _scene_loss(
             model, config, state.params, state.batch_stats, scene, rng, None
         )

@@ -28,6 +28,52 @@ def dump_show_results(out_dir, scene_id, det_boxes: DepthBoxes3D, scores, labels
         np.save(osp.join(out_dir, f"{scene_id}_gt_corners.npy"), gt_boxes.corners)
 
 
+def _label_color(label):
+    """Deterministic per-class color (the reference indexes a fixed colormap,
+    dataset_wrappers.py:84-86; exact hues are cosmetic)."""
+    rng = np.random.RandomState(int(label) * 7 + 5)
+    return tuple(int(c) for c in rng.randint(64, 256, size=3))
+
+
+def denormalize_images(imgs, mean, std):
+    """(N, 3, H, W) normalized floats -> (N, H, W, 3) uint8."""
+    x = np.asarray(imgs, np.float32).transpose(0, 2, 3, 1)
+    x = x * np.asarray(std, np.float32) + np.asarray(mean, np.float32)
+    return np.clip(x, 0, 255).astype(np.uint8)
+
+
+def draw_scene_2d(out_dir, scene_id, imgs_u8, projections, det_boxes, labels,
+                  gt_boxes=None):
+    """Per-view wireframe renders of predicted (label-colored) and GT (white)
+    boxes (the reference's MultiViewMixin.show_2d, dataset_wrappers.py:144-167).
+
+    imgs_u8: (N, H, W, 3) uint8; projections: (N, 3, 4) world->pixel.
+    """
+    scene_dir = osp.join(out_dir, scene_id)
+    os.makedirs(scene_dir, exist_ok=True)
+    for v in range(len(imgs_u8)):
+        img = imgs_u8[v]
+        if det_boxes is not None and len(det_boxes):
+            for b in range(len(det_boxes)):
+                img = draw_boxes_2d(
+                    img, det_boxes[slice(b, b + 1)], projections[v],
+                    color=_label_color(labels[b]), thickness=2,
+                )
+        if gt_boxes is not None and len(gt_boxes):
+            img = draw_boxes_2d(img, gt_boxes, projections[v],
+                                color=(255, 255, 255), thickness=1)
+        _imwrite(osp.join(scene_dir, f"view_{v:03d}.png"), img)
+
+
+def _imwrite(path, img):
+    try:
+        import cv2
+
+        cv2.imwrite(path, img[..., ::-1])  # RGB -> BGR
+    except Exception:
+        np.save(path + ".npy", img)
+
+
 def draw_boxes_2d(img, boxes: DepthBoxes3D, projection, color=(0, 255, 0), thickness=1):
     """Draw projected 3D box wireframes on an image.
 

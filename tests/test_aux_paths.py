@@ -100,3 +100,65 @@ def test_knn_pose_neighbors():
     # camera 2's nearest (excluding itself) are 1 and 3
     assert set(ids[2].tolist()) == {1, 3}
     assert 0 not in ids[0]  # self masked
+
+
+def test_checkpoint_retention_and_latest(tmp_path):
+    """save_checkpoint keeps every per-epoch dir and `last` names the newest;
+    latest_checkpoint restores the kill/restart auto-resume entrypoint
+    (reference ModelCheckpoint save_top_k=-1 + save_last, main.py:55-61)."""
+    from flax import struct
+
+    from sgcdet_tpu.train.checkpoint import (
+        latest_checkpoint, restore_checkpoint, save_checkpoint)
+
+    @struct.dataclass
+    class S:
+        step: jnp.ndarray
+        params: dict
+
+    path = str(tmp_path / "ckpt")
+    for step in (3, 7):
+        state = S(step=jnp.asarray(step), params={"w": jnp.full((2,), float(step))})
+        save_checkpoint(path, state, step)
+    assert (tmp_path / "ckpt" / "step_3").is_dir()  # retention: all kept
+    last = latest_checkpoint(path)
+    assert last is not None and last.endswith("step_7")
+    restored = restore_checkpoint(last, S(step=jnp.asarray(0), params={"w": jnp.zeros(2)}))
+    assert int(restored.step) == 7
+    np.testing.assert_allclose(np.asarray(restored.params["w"]), 7.0)
+    # pointer file survives a missing dir: falls back to max step_N
+    (tmp_path / "ckpt" / "last").write_text("step_999")
+    assert latest_checkpoint(path).endswith("step_7")
+    assert latest_checkpoint(str(tmp_path / "nope")) is None
+
+
+def test_multihost_eval_gather(tmp_path):
+    """Two simulated hosts shard the val set, ship detections through the
+    gather dir, and host 0 merges in scene order (pl_model.py:59-74 analog)."""
+    from sgcdet_tpu.eval.gather import gather_detections
+    from sgcdet_tpu.geometry import DepthBoxes3D
+
+    def det_for(i, n_boxes):
+        boxes = np.tile(
+            np.asarray([[i, i, 0.5, 1, 1, 1, 0]], np.float32), (n_boxes, 1))
+        return dict(
+            boxes_3d=DepthBoxes3D(boxes, box_dim=7, with_yaw=True,
+                                  origin=(0.5, 0.5, 0.5)),
+            scores_3d=np.full((n_boxes,), 0.5, np.float32),
+            labels_3d=np.zeros((n_boxes,), np.int64),
+        )
+
+    n_scenes = 5
+    shards = {0: list(range(0, n_scenes, 2)), 1: list(range(1, n_scenes, 2))}
+    dt = {h: [det_for(i, n_boxes=i + 1) for i in idx] for h, idx in shards.items()}
+    gdir = str(tmp_path / "gather")
+    # host 1 first (writes + returns None), then host 0 (merges)
+    assert gather_detections(gdir, 1, 2, shards[1], dt[1]) is None
+    merged = gather_detections(gdir, 0, 2, shards[0], dt[0])
+    assert len(merged) == n_scenes
+    for i, det in enumerate(merged):
+        assert len(det["boxes_3d"]) == i + 1
+        src = det_for(i, i + 1)
+        np.testing.assert_allclose(det["boxes_3d"].tensor,
+                                   src["boxes_3d"].tensor, atol=1e-6)
+        assert det["boxes_3d"].with_yaw
