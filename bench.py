@@ -79,6 +79,39 @@ def scene_time(cfg_name, n_views, visibility_budget=None):
     return (hi - lo) / 4.0
 
 
+def kernel_oracle_check():
+    """One small Pallas-vs-jnp-oracle case executed on the bench chip, so
+    kernel correctness ON HARDWARE is recorded in the bench JSON (the kernel
+    test suite is TPU-gated and skipped in the CPU CI run).  Returns the max
+    abs error over both kernel variants (fwd), or None off-TPU."""
+    import jax
+    import jax.numpy as jnp
+
+    from sgcdet_tpu.ops.dfa3d import pallas_available
+    from sgcdet_tpu.ops.msda import dfa3d_attention
+
+    if not pallas_available():
+        return None
+    from sgcdet_tpu.ops.dfa3d_pallas import dfa3d_attention_pallas
+    from sgcdet_tpu.ops.dfa3d_pallas2 import dfa3d_attention_pallas_v2
+
+    n, h, w, k, heads, c, p, d = 2, 10, 12, 40, 4, 16, 2, 6
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    value_img = jax.random.normal(ks[0], (n, h, w, heads * c), jnp.float32)
+    dpt_img = jax.nn.softmax(jax.random.normal(ks[1], (n, h, w, d)), axis=-1)
+    locs = jax.random.uniform(ks[2], (n, k, heads, p, 3), minval=-0.1, maxval=1.1)
+    attn = jax.nn.softmax(jax.random.normal(ks[3], (n, k, heads, p)), axis=-1)
+    ref, _ = dfa3d_attention(
+        value_img.reshape(n, h * w, heads, c), dpt_img.reshape(n, h * w, d),
+        ((h, w),), locs[:, :, :, None], attn[:, :, :, None],
+    )
+    err = 0.0
+    for fn in (dfa3d_attention_pallas, dfa3d_attention_pallas_v2):
+        out = fn(value_img, dpt_img, locs, attn, heads)
+        err = max(err, float(jnp.abs(out - ref).max()))
+    return err
+
+
 def main():
     import sys
     t0 = time.perf_counter()
@@ -90,12 +123,18 @@ def main():
     def log(msg):
         print(f"[bench +{time.perf_counter()-t0:.0f}s] {msg}", file=sys.stderr)
 
+    kerr = kernel_oracle_check()
+    log(f"pallas kernel oracle check: max err {kerr}")
+    if kerr is not None:
+        assert kerr < 2e-4, f"Pallas kernel drifted from oracle: {kerr}"
+
     t_40 = scene_time("scannet", 40)
     log(f"scannet 40v: {t_40:.3f}s/scene")
     sps_40 = 1.0 / t_40
 
     extra = {
         "baseline_kind": "estimate",
+        "pallas_kernel_oracle_maxerr": kerr,
         "baseline_scenes_per_sec_40views_rtx3090_est": REF_EST_40VIEW,
         "vs_same_chip_xla_path_measured": round(sps_40 / XLA_PATH_40VIEW, 4),
         # measured 2026-08-17 on v5e with this revision (re-measured live

@@ -49,6 +49,13 @@ def parse_args(argv=None):
                    help="override eval view count (memory/speed knob)")
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--visibility_budget", default=None,
+                   help="per-camera lifting compaction: a float fraction of "
+                        "queries kept per camera, or 'auto' to derive a "
+                        "provably-exact bound from the dataset's geometry "
+                        "(see utils/visibility.py)")
+    p.add_argument("--visibility_scan_scenes", type=int, default=200,
+                   help="scenes sampled for --visibility_budget auto")
     return p.parse_args(argv)
 
 
@@ -133,15 +140,10 @@ def run_eval(config, model, params, batch_stats, dataset, logger=None, step=0,
     window = max(1, 2 * num_workers)
     futures = {p: pool.submit(dataset.__getitem__, indices[p])
                for p in range(min(window, len(indices)))}
-    for p in range(len(indices)):
-        scene = futures.pop(p).result()
-        nxt = p + window
-        if nxt < len(indices) and nxt not in futures:
-            futures[nxt] = pool.submit(dataset.__getitem__, indices[nxt])
-        scene_dev = {
-            k: scene[k] for k in ("imgs", "proj_img", "proj_feat4", "origin")
-        }
-        out = eval_fn(params, batch_stats, scene_dev)
+
+    def finish(p, scene, out):
+        """Host side of one scene: fetch, decode, NMS, show. Runs while the
+        NEXT scene's forward is in flight on the device."""
         head_outs = jax.tree_util.tree_map(np.asarray, out["head_outs"])
         valid = np.asarray(out["valid"])
         boxes, scores, labels = decode_bboxes(
@@ -177,6 +179,24 @@ def run_eval(config, model, params, batch_stats, dataset, logger=None, step=0,
             )
             draw_scene_2d(str(show_dir), f"{i:05d}", imgs_u8,
                           np.asarray(scene["proj_img"]), det, labels, gt_boxes)
+
+    # one-deep device/host pipeline: jax dispatch is async, so scene p's
+    # decode+NMS on the host overlaps scene p+1's forward on the device
+    pending = None
+    for p in range(len(indices)):
+        scene = futures.pop(p).result()
+        nxt = p + window
+        if nxt < len(indices) and nxt not in futures:
+            futures[nxt] = pool.submit(dataset.__getitem__, indices[nxt])
+        scene_dev = {
+            k: scene[k] for k in ("imgs", "proj_img", "proj_feat4", "origin")
+        }
+        out = eval_fn(params, batch_stats, scene_dev)
+        if pending is not None:
+            finish(*pending)
+        pending = (p, scene, out)
+    if pending is not None:
+        finish(*pending)
     pool.shutdown(wait=False)
     if num_hosts > 1:
         from .eval.gather import gather_detections
@@ -234,6 +254,27 @@ def main(argv=None):
     else:
         val_ds, _ = build_dataset_and_loader(config, False, 1, 0, args.seed)
         example = val_ds[0]
+
+    if args.visibility_budget is not None:
+        if args.visibility_budget == "auto":
+            from .utils.visibility import derive_visibility_budget
+
+            ds = train_ds if train_ds is not None else val_ds
+            n_scan = min(len(ds), args.visibility_scan_scenes)
+            scan_ids = np.linspace(0, len(ds) - 1, n_scan).astype(int)
+            budget = derive_visibility_budget(
+                (ds.scene_poses(int(i)) for i in scan_ids),
+                config.data.img_shape, config.model,
+            )
+            print(f"auto visibility budget (exact bound over {n_scan} "
+                  f"scenes): {budget:.3f}", flush=True)
+        else:
+            budget = float(args.visibility_budget)
+        config = dataclasses.replace(
+            config, model=dataclasses.replace(
+                config.model, visibility_budget=budget if budget < 1.0 else None
+            )
+        )
 
     example_scene = {
         k: example[k] for k in ("imgs", "proj_img", "proj_feat4", "origin")

@@ -74,6 +74,13 @@ class MultiViewDataset:
             **{"class": annos["class"] if annos["gt_num"] != 0 else np.zeros(0, np.int64)},
         )
 
+    def scene_poses(self, index):
+        """(origin, proj_img) for one scene without loading images — cheap
+        whole-dataset geometry statistics (visibility-budget sizing)."""
+        from .pipeline import scene_poses
+
+        return scene_poses(self.infos[index], self.cfg, self.train, self.rng)
+
     def __getitem__(self, index):
         scene = prepare_scene(
             self.infos[index], self.cfg, self.train, self.rng, self.load_depth

@@ -121,6 +121,44 @@ def build_projection_matrices(intrinsic, extrinsics, ori_h, img_h):
     return proj_img.astype(np.float32), proj_feat4.astype(np.float32)
 
 
+def scene_poses(info, data_cfg, train, rng=None):
+    """Projections + origin for one scene WITHOUT touching any image files.
+
+    Same view sampling / extrinsics / origin conventions as prepare_scene
+    (deterministic "linear" sampling when not train); used for cheap
+    whole-dataset geometry statistics (visibility-budget sizing).
+    Returns (origin (3,), proj_img (N, 3, 4)) at the configured img_shape.
+    """
+    rng = rng or np.random
+    n_images = data_cfg.n_images_train if train else data_cfg.n_images_test
+    method = data_cfg.sample_method_train if train else "linear"
+    ids = sample_view_ids(len(info["img_paths"]), n_images, method, rng)
+
+    if "extrinsics" in info:
+        aam = info["annos"]["axis_align_matrix"].astype(np.float32)
+        ext_all = [
+            np.linalg.inv(aam @ np.asarray(info["extrinsics"][i], np.float32))
+            for i in ids
+        ]
+    else:
+        ext_all = [np.linalg.inv(np.asarray(info["poses"][i], np.float32)) for i in ids]
+    extrinsics = np.stack(ext_all)
+
+    if data_cfg.origin == "fixed":
+        origin = np.array([0.0, 0.0, 0.5], np.float32)
+    else:
+        poses = np.stack([np.asarray(p, np.float32) for p in info["poses"]])
+        origin = poses[:, :3, 3].mean(axis=0).astype(np.float32)
+    if train:
+        origin = origin + rng.normal(0.0, data_cfg.shift_origin_std, 3).astype(np.float32)
+
+    intrinsic = info.get("intrinsics", info.get("intrinsic"))
+    proj_img, _ = build_projection_matrices(
+        intrinsic, extrinsics, data_cfg.ori_shape[0], data_cfg.img_shape[0]
+    )
+    return origin.astype(np.float32), proj_img
+
+
 def prepare_scene(info, data_cfg, train, rng=None, load_depth=False):
     """Load one scene into fixed-shape arrays.
 

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.msda import dfa3d_attention, msda_2d
-from ..ops.dfa3d import dfa3d_attend
+from ..ops.dfa3d import dfa3d_attend, msda_2d_attend
 from .layers import (
     FFN,
     LayerNorm,
@@ -183,6 +183,7 @@ class MSDeformableAttention2D(nn.Module):
     num_heads: int = 8
     num_levels: int = 1
     num_points: int = 4
+    query_chunk: int | None = 100
 
     @nn.compact
     def __call__(self, query, value, ref_points, spatial_shapes):
@@ -211,6 +212,14 @@ class MSDeformableAttention2D(nn.Module):
         )
         locs = ref_points[:, :, None, None, :, :] + off / normalizer[None, None, None, :, None, :]
         locs = locs.reshape(n, k, h, l, p, 2)
+        if l == 1:
+            # single-level fast path: image-layout sampling via the DFA3D
+            # dispatcher (Pallas on TPU, patch-gather elsewhere)
+            h_, w_ = spatial_shapes[0]
+            v_img = v.reshape(n, h_, w_, c)
+            return msda_2d_attend(
+                [v_img], locs, attn, num_heads=h, query_chunk=self.query_chunk
+            )
         return msda_2d(v, spatial_shapes, locs, attn)
 
 
@@ -306,16 +315,18 @@ class DeformCrossAttention(nn.Module):
             # 2D path (deformable_cross_attention.py:504-688): bilinear
             # grid-sample stage + plain MSDA stage with residual add.
             value = value_img.reshape(n, -1, c)
-            v1 = value.reshape(n, -1, 1, c)
-            locs1 = ref_cam[:, :, None, None, None, :2].astype(jnp.float32)
-            attn1 = jnp.ones((n, k, 1, self.num_levels, 1), jnp.float32)
-            queries_per_image = msda_2d(v1, spatial_shapes, locs1.reshape(
-                n, k, 1, self.num_levels, 1, 2), attn1)
+            locs1 = ref_cam[:, :, None, None, :2].astype(jnp.float32)
+            attn1 = jnp.ones((n, k, 1, 1, 1), jnp.float32)
+            queries_per_image = msda_2d_attend(
+                [value_img], locs1[:, :, :, None], attn1, num_heads=1,
+                query_chunk=self.query_chunk,
+            )
             queries = MSDeformableAttention2D(
                 embed_dims=c,
                 num_heads=self.num_heads,
                 num_levels=self.num_levels,
                 num_points=self.num_points,
+                query_chunk=self.query_chunk,
                 name="deformable_attention",
             )(queries_per_image, value, ref_cam[:, :, None, :2], spatial_shapes)
             queries = queries + queries_per_image

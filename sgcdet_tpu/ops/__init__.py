@@ -4,6 +4,7 @@ from .msda import (
     dfa3d_attention,
     sample_depth_scores,
 )
+from .dfa3d_fast import msda_2d_fast
 
 __all__ = [
     "aligned_3d_nms",
@@ -11,6 +12,7 @@ __all__ = [
     "nms_normal_bev",
     "box3d_multiclass_nms",
     "msda_2d",
+    "msda_2d_fast",
     "dfa3d_attention",
     "sample_depth_scores",
 ]

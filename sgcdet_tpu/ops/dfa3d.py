@@ -10,8 +10,9 @@ from __future__ import annotations
 
 import jax
 
-from .dfa3d_fast import dfa3d_attention_fast
+from .dfa3d_fast import dfa3d_attention_fast, msda_2d_fast
 from .dfa3d_pallas import dfa3d_attention_pallas
+from .dfa3d_pallas2 import dfa3d_attention_pallas_v2
 
 # None = auto-detect; True/False force the Pallas kernel on/off (tests, bench)
 _FORCE_PALLAS: bool | None = None
@@ -38,10 +39,32 @@ def dfa3d_attend(value_img, dpt_img, sampling_locations, attention_weights,
                  num_heads, query_chunk=None):
     """Fused depth-weighted deformable attention; see dfa3d_fast for shapes."""
     if pallas_available():
+        heads_p = num_heads * sampling_locations.shape[3]
+        if heads_p > 1:
+            # multi-head stage-2: the quad-corner-row kernel (one narrow
+            # gather per sample; measured 1.15x fwd / 1.47x bwd over v1 at
+            # the L2 stage-2 shape — experiments/bench_pallas2.py)
+            return dfa3d_attention_pallas_v2(
+                value_img, dpt_img, sampling_locations, attention_weights,
+                num_heads,
+            )
+        # single-head stage-1 (full-C rows): pair-row kernel; the quad
+        # layout's 4x(c+D)-lane rows exceed VMEM at c=256
         return dfa3d_attention_pallas(
             value_img, dpt_img, sampling_locations, attention_weights, num_heads
         )
     return dfa3d_attention_fast(
         value_img, dpt_img, sampling_locations, attention_weights, num_heads,
         query_chunk,
+    )
+
+
+def msda_2d_attend(value_img_list, sampling_locations, attention_weights,
+                   num_heads, query_chunk=None):
+    """Hardware-dispatched 2D MSDA (the non-DFA3D config variant's op): the
+    uniform-depth reduction in ``msda_2d_fast`` routed through
+    ``dfa3d_attend`` so TPU runs get the Pallas kernel."""
+    return msda_2d_fast(
+        value_img_list, sampling_locations, attention_weights, num_heads,
+        query_chunk, attend=dfa3d_attend,
     )

@@ -193,6 +193,45 @@ def bilinear_sample_patch(img, x, y):
     return jnp.einsum("mq,mqc->mc", w_pos, g)
 
 
+def msda_2d_fast(value_img_list, sampling_locations, attention_weights,
+                 num_heads, query_chunk=None, attend=None):
+    """TPU-fast 2D multi-scale deformable attention (mmcv ``ms_deform_attn``
+    semantics, reference usage deformable_cross_attention.py:119-340).
+
+    2D MSDA is DFA3D with a uniform depth distribution sampled at the bin
+    center: the depth lerp weights then sum to exactly 1 for every in-bounds
+    sample, so the depth reweighting is the identity and only the bilinear
+    corner weights and attention remain — letting this ride the same
+    patch-gather machinery (and its fast custom-VJP scatter backward), or the
+    Pallas TPU kernel when ``attend`` is the hardware dispatcher
+    (``dfa3d.msda_2d_attend``).
+
+    Args:
+      value_img_list: list of (N, H_l, W_l, heads*c) per-level feature maps.
+      sampling_locations: (N, K, heads, L, P, 2) normalized (u, v).
+      attention_weights: (N, K, heads, L, P); softmax over L*P.
+      num_heads: static head count.
+      attend: optional DFA3D backend with the ``dfa3d_attention_fast``
+        signature; defaults to the XLA patch-gather path.
+    Returns (N, K, heads*c).
+    """
+    if attend is None:
+        attend = dfa3d_attention_fast
+    out = None
+    for lvl, vimg in enumerate(value_img_list):
+        locs = sampling_locations[:, :, :, lvl]
+        attn = attention_weights[:, :, :, lvl]
+        # d = 0.5 centers the sample in a 2-bin uniform distribution:
+        # wd0 + wd1 = 1 and both bins hold 1.0, so the depth score is 1.
+        locs3 = jnp.concatenate(
+            [locs, jnp.full(locs.shape[:-1] + (1,), 0.5, locs.dtype)], axis=-1
+        )
+        ones = jnp.ones(vimg.shape[:-1] + (2,), vimg.dtype)
+        o = attend(vimg, ones, locs3, attn, num_heads, query_chunk)
+        out = o if out is None else out + o
+    return out
+
+
 def dfa3d_attention_fast(value_img, dpt_img, sampling_locations, attention_weights,
                          num_heads, query_chunk=None):
     """Fused depth-weighted deformable attention, image-layout operands.

@@ -181,22 +181,30 @@ def _sample_quantities_v2(locs, attn, h, w, d_size, qb):
 # ---------------------------------------------------------------------------
 
 
-def _gather_loop_v2(rows_ref, img_ref, sc, m):
-    """One single-row dynamic-slice copy per sample, add-only index math."""
-    half = m // 128
+def _gather_loop_v2(rows_ref, img_ref, scs, qb):
+    """All P points of a query in ONE loop iteration, one per-point scratch
+    buffer each — the loop-iteration overhead (the dominant cost for narrow
+    rows, experiments/gather_probe6.py) is paid once per query instead of
+    once per sample.  rows_ref segments: point j occupies sublane rows
+    [j*qb/128, (j+1)*qb/128)."""
+    p = len(scs)
+    seg = qb // 128
 
     def outer(j, _):
         base = j * 128
 
         def inner(l, _):
             i = base + l
-            sc[pl.ds(i, 1), :] = img_ref[pl.ds(rows_ref[j, l], 1), :]
+            for pt in range(p):
+                scs[pt][pl.ds(i, 1), :] = img_ref[
+                    pl.ds(rows_ref[pt * seg + j, l], 1), :
+                ]
             return 0
 
         jax.lax.fori_loop(0, 128, inner, 0, unroll=False)
         return 0
 
-    jax.lax.fori_loop(0, half, outer, 0, unroll=False)
+    jax.lax.fori_loop(0, seg, outer, 0, unroll=False)
 
 
 def _dvec(winfo, rows, d_size):
@@ -224,30 +232,28 @@ def _point_contrib(s, winfo, c, d_size, qb):
     return contrib, dvec, ds_list, vals
 
 
-def _fwd_kernel_v2(rows_ref, winfo_ref, img_ref, out_ref, sc, *, c, p, qb, d_size):
-    m = p * qb
-    _gather_loop_v2(rows_ref, img_ref, sc, m)
+def _fwd_kernel_v2(rows_ref, winfo_ref, img_ref, out_ref, *scs, c, p, qb, d_size):
+    _gather_loop_v2(rows_ref, img_ref, scs, qb)
     acc = None
     for j in range(p):
-        s = sc[j * qb:(j + 1) * qb, :]
         winfo = winfo_ref[j * qb:(j + 1) * qb, :]
-        contrib, _, _, _ = _point_contrib(s, winfo, c, d_size, qb)
+        contrib, _, _, _ = _point_contrib(scs[j][:], winfo, c, d_size, qb)
         acc = contrib if acc is None else acc + contrib
     out_ref[:] = acc
 
 
 def _bwd_kernel_v2(rows_ref, winfo_ref, g_ref, img_ref, dimg_ref, dw4_ref,
-                   ddvec_ref, sc, u, *, c, p, qb, d_size):
-    m = p * qb
+                   ddvec_ref, *scratch, c, p, qb, d_size):
+    scs, us = scratch[:p], scratch[p:]
 
     @pl.when(pl.program_id(1) == 0)
     def _():
         dimg_ref[:] = jnp.zeros_like(dimg_ref)
 
-    _gather_loop_v2(rows_ref, img_ref, sc, m)
+    _gather_loop_v2(rows_ref, img_ref, scs, qb)
     g = g_ref[:]  # (qb, c)
     for j in range(p):
-        s = sc[j * qb:(j + 1) * qb, :]
+        s = scs[j][:]
         winfo = winfo_ref[j * qb:(j + 1) * qb, :]
         _, dvec, ds_list, vals = _point_contrib(s, winfo, c, d_size, qb)
         t_list = [jnp.sum(v * g, axis=1, keepdims=True) for v in vals]
@@ -260,27 +266,29 @@ def _bwd_kernel_v2(rows_ref, winfo_ref, g_ref, img_ref, dimg_ref, dw4_ref,
             term = (winfo[:, i:i + 1] * t_list[i]) * dj
             ddvec = term if ddvec is None else ddvec + term
         ddvec_ref[j * qb:(j + 1) * qb, :] = ddvec
-        upd = jnp.concatenate(
+        us[j][:] = jnp.concatenate(
             [(winfo[:, i:i + 1] * ds_list[i]) * g for i in range(4)]
             + [(winfo[:, i:i + 1] * t_list[i]) * dvec for i in range(4)],
             axis=1,
         )
-        u[j * qb:(j + 1) * qb, :] = upd
 
-    half = m // 128
+    seg = qb // 128
 
     def outer(j, _):
         base = j * 128
 
         def inner(l, _):
             i = base + l
-            dimg_ref[pl.ds(rows_ref[j, l], 1), :] += u[pl.ds(i, 1), :]
+            for pt in range(p):
+                dimg_ref[pl.ds(rows_ref[pt * seg + j, l], 1), :] += us[pt][
+                    pl.ds(i, 1), :
+                ]
             return 0
 
         jax.lax.fori_loop(0, 128, inner, 0, unroll=False)
         return 0
 
-    jax.lax.fori_loop(0, half, outer, 0, unroll=False)
+    jax.lax.fori_loop(0, seg, outer, 0, unroll=False)
 
 
 # ---------------------------------------------------------------------------
@@ -288,21 +296,26 @@ def _bwd_kernel_v2(rows_ref, winfo_ref, g_ref, img_ref, dimg_ref, dw4_ref,
 # ---------------------------------------------------------------------------
 
 
-def _pick_qb_v2(k, p, target=32768, bwd=False):
-    """qb: query block size; P*qb samples per grid step, qb % 8 == 0 and
-    P*qb % 1024 == 0 (SMEM row blocks are (m//128, 128); the gather loop
-    wants full 128-lane groups)."""
-    step = 1024 // jnp.gcd(jnp.int32(p), 1024).item() if False else None
-    # static python math (p is a python int)
-    import math as _math
-
-    step = 1024 // _math.gcd(p, 1024)
+def _pick_qb_v2(k, p, target=12288, bwd=False):
+    """qb: query block size; P*qb samples per grid step.  qb % 128 == 0 (the
+    gather loop walks full 128-lane SMEM groups per point segment) and
+    p*qb % 1024 == 0 (the rows block is (p*qb/128, 128) SMEM whose sublane
+    count must divide by 8).  `target` caps samples per grid step: large
+    blocks amortize the ~15 us/grid-step pipeline overhead, but the p
+    (qb, 4*(c+D)) f32 scratch buffers + double-buffered operands must fit
+    the ~128 MB of VMEM.  Prefers a qb that divides K (no padding); falls
+    back to a padded K when the only divisors are tiny."""
+    step = 128
+    while (p * step) % 1024 != 0:
+        step += 128
     budget = target // 2 if bwd else target
     max_qb = max(step, (budget // p) // step * step)
     max_qb = min(max_qb, _round_up(k, step))
     for cand in range(max_qb, step - 1, -step):
         if k % cand == 0:
-            return cand
+            if cand * 2 >= max_qb:
+                return cand
+            break
     return max_qb
 
 
@@ -324,7 +337,7 @@ def _run_fwd_v2(quad, rows, winfo, heads, c, p, qb, d_size):
         ],
         out_specs=pl.BlockSpec((qb, c), lambda ci, bi: (ci * nblk + bi, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((m, width), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((qb, width), jnp.float32) for _ in range(p)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
@@ -366,10 +379,10 @@ def _run_bwd_v2(quad, rows, winfo, g, heads, c, p, qb, d_size):
             pl.BlockSpec((m, d_size), lambda ci, bi: (ci * nblk + bi, 0),
                          memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((m, width), jnp.float32),
-            pltpu.VMEM((m, width), jnp.float32),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((qb, width), jnp.float32) for _ in range(p)]    # sc
+            + [pltpu.VMEM((qb, width), jnp.float32) for _ in range(p)]  # u
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
         ),

@@ -1,0 +1,78 @@
+"""Visibility statistics -> provably-exact per-camera budget sizing.
+
+The ``visibility_budget`` compaction in ``DeformCrossAttention``
+(view_transformer.py) is EXACT whenever the per-camera kept-query budget
+B = ceil(budget * K) is at least the number of visible queries in every
+camera (the reference rebatches exactly the visible set,
+deformable_cross_attention.py:759-783).  The selected top-k query sets of the
+finer levels are unknown before training, but they are subsets of the full
+voxel grid — so the per-camera visible count over ALL voxels of a level upper
+bounds the visible count of ANY selected subset.  A budget fraction derived
+from that bound is therefore exact for every possible selection.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..geometry.voxel_grid import voxel_centers_zero_origin
+
+
+def _visible_counts(ref_points, origin, projection, img_shape, dbound):
+    """NumPy mirror of view_transformer.point_sampling's visibility mask.
+
+    ref_points: (K, 3); projection: (N, 3, 4). Returns (N,) visible counts.
+    """
+    eps = 1e-5
+    ogf_h, ogf_w = img_shape
+    pts = ref_points + np.asarray(origin, np.float32)[None, :]
+    hom = np.concatenate([pts, np.ones_like(pts[:, :1])], axis=-1)
+    cam = np.einsum("nij,kj->nki", np.asarray(projection, np.float32), hom)
+    d = cam[..., 2]
+    uv = cam[..., :2] / np.maximum(d, eps)[..., None]
+    u = uv[..., 0] / ogf_w
+    v = uv[..., 1] / ogf_h
+    mask = (
+        (d > eps) & (u > eps) & (u < 1.0 - eps) & (v > eps) & (v < 1.0 - eps)
+    )
+    return mask.sum(axis=1)
+
+
+def scene_visibility_fractions(origin, projection, img_shape, model_cfg):
+    """Max per-camera visible fraction of each level's query count.
+
+    For level 0 the query set is the whole grid; for level i>0 it is a top-k
+    subset, bounded by min(k, visible_all).  Returns a list of per-level
+    fractions in [0, 1]; their max (plus margin) is an exact budget for this
+    scene.
+    """
+    fracs = []
+    for i, nvox in enumerate(model_cfg.n_voxels_list):
+        ref_all = voxel_centers_zero_origin(nvox, model_cfg.voxel_size_list[i])
+        counts = _visible_counts(
+            np.asarray(ref_all, np.float32), origin, projection, img_shape,
+            model_cfg.dbound,
+        )
+        k = (
+            int(np.prod(nvox)) if i == 0 else int(model_cfg.topk_list[i - 1])
+        )
+        bound = min(k, int(counts.max())) if counts.size else 0
+        fracs.append(bound / max(k, 1))
+    return fracs
+
+
+def derive_visibility_budget(scenes, img_shape, model_cfg, margin=1.05):
+    """Exact visibility budget over an iterable of (origin, projection) pairs.
+
+    Args:
+      scenes: iterable of (origin (3,), projection (N, 3, 4)) numpy pairs —
+        e.g. generated from dataset infos, or synthetic trajectories.
+      margin: multiplicative safety factor (the compaction rounds the kept
+        count up to a multiple of 128 anyway).
+    Returns a float budget fraction (clipped to 1.0); passing it as
+    ``model.visibility_budget`` keeps the lifting exact for every scene seen.
+    """
+    worst = 0.0
+    for origin, projection in scenes:
+        fracs = scene_visibility_fractions(origin, projection, img_shape, model_cfg)
+        worst = max(worst, max(fracs))
+    return float(min(1.0, worst * margin))

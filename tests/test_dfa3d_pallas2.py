@@ -1,0 +1,88 @@
+"""v2 (quad-corner-row) Pallas DFA3D kernel vs the jnp oracle (TPU-only).
+
+Same oracle and tolerance discipline as tests/test_dfa3d_pallas.py; the v2
+kernel serves the multi-head stage-2 path (heads*P > 1).
+"""
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sgcdet_tpu.ops.msda import dfa3d_attention
+from tests.test_dfa3d_pallas import _case
+
+on_tpu = "TPU" in (getattr(jax.devices()[0], "device_kind", "") or "").upper()
+pytestmark = pytest.mark.skipif(not on_tpu, reason="Pallas kernel needs TPU")
+
+
+@pytest.mark.parametrize(
+    "n,h,w,k,heads,c,p,d",
+    [
+        (2, 8, 10, 24, 2, 8, 2, 5),       # generic small (padded K)
+        (2, 30, 40, 320, 8, 32, 4, 12),   # stage-2 shape
+        (1, 30, 40, 6400, 8, 32, 4, 12),  # full L2 query count, 1 cam
+    ],
+)
+def test_v2_forward_matches_oracle(n, h, w, k, heads, c, p, d):
+    from sgcdet_tpu.ops.dfa3d_pallas2 import dfa3d_attention_pallas_v2
+
+    value_img, dpt_img, locs, attn = _case(n, h, w, k, heads, c, p, d)
+    ref, _ = dfa3d_attention(
+        value_img.reshape(n, h * w, heads, c),
+        dpt_img.reshape(n, h * w, d),
+        ((h, w),),
+        locs[:, :, :, None],
+        attn[:, :, :, None],
+    )
+    out = dfa3d_attention_pallas_v2(value_img, dpt_img, locs, attn, heads)
+    scale = max(float(jnp.abs(ref).max()), 1.0)
+    assert float(jnp.abs(out - ref).max()) < 2e-5 * scale
+
+
+@pytest.mark.parametrize(
+    "n,h,w,k,heads,c,p,d",
+    [
+        (2, 8, 10, 24, 2, 8, 2, 5),
+        (2, 30, 40, 320, 8, 32, 4, 12),
+    ],
+)
+def test_v2_grads_match_oracle(n, h, w, k, heads, c, p, d):
+    from sgcdet_tpu.ops.dfa3d_pallas2 import dfa3d_attention_pallas_v2
+
+    value_img, dpt_img, locs, attn = _case(n, h, w, k, heads, c, p, d)
+    cos_w = jnp.cos(jnp.arange(n * k * heads * c, dtype=jnp.float32)).reshape(
+        n, k, heads * c
+    )
+
+    def loss_ref(vi, di, lo, at):
+        o, _ = dfa3d_attention(
+            vi.reshape(n, h * w, heads, c), di.reshape(n, h * w, d),
+            ((h, w),), lo[:, :, :, None], at[:, :, :, None],
+        )
+        return jnp.sum(o * cos_w)
+
+    def loss_pal(vi, di, lo, at):
+        return jnp.sum(dfa3d_attention_pallas_v2(vi, di, lo, at, heads) * cos_w)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(value_img, dpt_img, locs, attn)
+    gp = jax.grad(loss_pal, argnums=(0, 1, 2, 3))(value_img, dpt_img, locs, attn)
+    for name, a, b in zip(["d_value", "d_dpt", "d_locs", "d_attn"], gr, gp):
+        scale = max(float(jnp.abs(a).max()), 1.0)
+        assert float(jnp.abs(a - b).max()) < 5e-4 * scale, name
+
+
+def test_v2_bf16_inputs_close():
+    from sgcdet_tpu.ops.dfa3d_pallas2 import dfa3d_attention_pallas_v2
+
+    n, h, w, k, heads, c, p, d = 2, 8, 10, 24, 2, 8, 2, 5
+    value_img, dpt_img, locs, attn = _case(n, h, w, k, heads, c, p, d)
+    ref, _ = dfa3d_attention(
+        value_img.reshape(n, h * w, heads, c), dpt_img.reshape(n, h * w, d),
+        ((h, w),), locs[:, :, :, None], attn[:, :, :, None],
+    )
+    out = dfa3d_attention_pallas_v2(
+        value_img.astype(jnp.bfloat16), dpt_img.astype(jnp.bfloat16),
+        locs, attn, heads,
+    )
+    assert out.dtype == jnp.bfloat16
+    scale = max(float(jnp.abs(ref).max()), 1.0)
+    assert float(jnp.abs(out.astype(jnp.float32) - ref).max()) < 2e-2 * scale

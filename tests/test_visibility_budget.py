@@ -84,3 +84,61 @@ def test_budget_too_small_keeps_lowest_indices():
     assert np.isfinite(np.asarray(out)).all()
     novis = ~np.asarray(mask).any(axis=0)
     np.testing.assert_allclose(np.asarray(out)[novis], 0.0, atol=1e-6)
+
+
+def test_auto_budget_sizing_is_exact_at_model_level():
+    """derive_visibility_budget's bound (over ALL voxels per level) must make
+    the compacted lifting exactly reproduce the dense path for any top-k
+    selection (sparse_head levels select data-dependent subsets)."""
+    import dataclasses
+
+    from sgcdet_tpu.configs import scannet
+    from sgcdet_tpu.models.sparse_head import AdaptiveSparseVolume
+    from sgcdet_tpu.utils.visibility import derive_visibility_budget
+    from tests.test_lifting_torch_parity import _geometry
+
+    nvox = ((4, 4, 2), (8, 8, 4), (16, 16, 8))
+    vsize = ((0.64, 0.64, 0.8), (0.32, 0.32, 0.4), (0.16, 0.16, 0.2))
+    topk = (32, 128)
+    img_shape = (32, 48)
+    dbound = (0.2, 3.4, 0.4)
+    proj, origin = _geometry(4)
+
+    mcfg = dataclasses.replace(
+        scannet().model, n_voxels_list=nvox, voxel_size_list=vsize,
+        topk_list=topk, dbound=dbound,
+    )
+    budget = derive_visibility_budget(
+        [(origin, proj)], img_shape, mcfg, margin=1.0
+    )
+    assert 0.0 < budget <= 1.0
+
+    d_ch = round((dbound[1] - dbound[0]) / dbound[2])
+    key = jax.random.PRNGKey(0)
+    feats, dpts = [], []
+    h4, w4 = img_shape[0] // 4, img_shape[1] // 4
+    for lvl in range(3):
+        h_l, w_l = h4 // (2 ** lvl), w4 // (2 ** lvl)
+        k1, k2, key = jax.random.split(key, 3)
+        feats.append(jax.random.normal(k1, (4, 32, h_l, w_l)))
+        dpts.append(jax.nn.softmax(jax.random.normal(k2, (4, d_ch, h_l, w_l)), 1))
+
+    def run(vb):
+        model = AdaptiveSparseVolume(
+            embed_dims=32, voxel_size_list=vsize, n_voxels_list=nvox,
+            topk_list=topk, num_heads=4, num_points=2, query_chunk=None,
+            visibility_budget=vb,
+        )
+        variables = model.init(
+            jax.random.PRNGKey(1), feats, dpts, jnp.asarray(origin),
+            jnp.asarray(proj), img_shape, dbound,
+        )
+        return model.apply(
+            variables, feats, dpts, jnp.asarray(origin), jnp.asarray(proj),
+            img_shape, dbound,
+        )
+
+    vol_d, valid_d, occ_d = run(None)
+    vol_c, valid_c, occ_c = run(budget if budget < 1.0 else None)
+    np.testing.assert_allclose(np.asarray(vol_c), np.asarray(vol_d), atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(valid_c), np.asarray(valid_d))
