@@ -37,8 +37,15 @@ REF_EST_100VIEW = 9.0        # scenes/sec, RTX 3090 estimate, 100 views
 XLA_PATH_40VIEW = 1.0 / 0.637  # scenes/sec, this repo w/o Pallas kernel, v5e, 2026-08-16
 
 
-def scene_time(cfg_name, n_views, visibility_budget=None):
-    """Measured seconds/scene for one config via the pipelined slope method."""
+def scene_time(cfg_name, n_views, visibility_budget=None, trajectory="ring"):
+    """Measured seconds/scene for one config via the pipelined slope method.
+
+    visibility_budget: None (dense/exact), a float fraction, or "auto" — the
+    provably-exact per-camera bound derived from this scene's geometry
+    (utils/visibility.py); "auto" keeps the lifting bit-identical to dense.
+    trajectory: "ring" (orbit, sees everything) or "indoor" (walkthrough
+    inside the volume — realistic partial per-camera visibility).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -47,8 +54,18 @@ def scene_time(cfg_name, n_views, visibility_budget=None):
     from sgcdet_tpu.models import SGCDet
 
     cfg = get_config(cfg_name)
+    scene = _example_scene(cfg.data.img_shape, cfg.data.pad_size, n_views,
+                           trajectory=trajectory)
+    if visibility_budget == "auto":
+        from sgcdet_tpu.utils.visibility import derive_visibility_budget
+
+        visibility_budget = derive_visibility_budget(
+            [(np.asarray(scene["origin"]), np.asarray(scene["proj_img"]))],
+            cfg.data.img_shape, cfg.model,
+        )
+        if visibility_budget >= 1.0:
+            visibility_budget = None
     mcfg = dataclasses.replace(cfg.model, visibility_budget=visibility_budget)
-    scene = _example_scene(cfg.data.img_shape, cfg.data.pad_size, n_views)
     model = SGCDet(cfg=mcfg, img_shape=cfg.data.img_shape, query_chunk=100)
     init = jax.jit(lambda r, a, b, c, d: model.init(
         {"params": r}, a, b, c, d, train=False))
@@ -137,24 +154,29 @@ def main():
         "pallas_kernel_oracle_maxerr": kerr,
         "baseline_scenes_per_sec_40views_rtx3090_est": REF_EST_40VIEW,
         "vs_same_chip_xla_path_measured": round(sps_40 / XLA_PATH_40VIEW, 4),
-        # measured 2026-08-17 on v5e with this revision (re-measured live
-        # below when the bench time budget allows):
-        "scannet_100view_eval_scenes_per_sec": 0.9514,
-        "scannet200_large_40view_scenes_per_sec": 0.5449,
-        "scannet_40view_visibility_budget0.5_scenes_per_sec": 3.5827,
-        "extras_kind": "cached_2026-08-17",
+        # measured 2026-08-17 on v5e with the round-3 v2-kernel revision
+        # (re-measured live below when the bench time budget allows; keys
+        # re-measured live land in `live` and flip extras_kind):
+        "scannet_100view_eval_scenes_per_sec": 1.0461,
+        "scannet200_large_40view_scenes_per_sec": 0.8121,
+        "extras_kind": "cached_2026-08-17_r3",
     }
     variants = [
-        ("scannet_100view_eval_scenes_per_sec", "scannet", 100, None),
-        ("scannet200_large_40view_scenes_per_sec", "scannet200_large", 40, None),
-        ("scannet_40view_visibility_budget0.5_scenes_per_sec", "scannet", 40, 0.5),
+        ("scannet_100view_eval_scenes_per_sec", "scannet", 100, None, "ring"),
+        ("scannet200_large_40view_scenes_per_sec", "scannet200_large", 40, None,
+         "ring"),
+        # indoor walkthrough: realistic partial per-camera visibility, exact
+        # auto-derived budget (the ring scene's bound is ~1.0 -> no compaction)
+        ("scannet_40view_indoor_auto_exact_budget_scenes_per_sec", "scannet",
+         40, "auto", "indoor"),
     ]
     live = set()
-    for key, cfg_name, n_views, budget in variants:
+    for key, cfg_name, n_views, budget, traj in variants:
         if time.perf_counter() - t0 > deadline - 240:
             log(f"deadline: skipping re-measure of {key}")
             break
-        t = scene_time(cfg_name, n_views, visibility_budget=budget)
+        t = scene_time(cfg_name, n_views, visibility_budget=budget,
+                       trajectory=traj)
         log(f"{key}: {t:.3f}s/scene")
         extra[key] = round(1.0 / t, 4)
         live.add(key)
