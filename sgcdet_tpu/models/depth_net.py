@@ -99,13 +99,23 @@ def homo_warping(src_fea, src_proj, ref_proj, depth_values):
 
 
 def plane_sweep_correlation(src_fea, ref_fea, src_proj, ref_proj, depth_values):
-    """Fused warp + dot-product correlation, scanned over depth planes.
+    """Fused warp + dot-product correlation.
 
     Equivalent to ``(homo_warping(...) * ref_fea[:, :, None]).sum(1)/sqrt(C)``
     (depth_est_fusion.py:232-237) but never materializes the (N, C, D, H, W)
-    warp — the peak activation is one (N, C, H, W) plane, which keeps the
-    training backward inside HBM.
+    warp.  On TPU this dispatches to the coherent-gather Pallas kernel
+    (ops/sweep_pallas.py, ~2x the XLA patch-gather path); elsewhere it scans
+    depth planes with the patch sampler so the peak activation is one
+    (N, C, H, W) plane.
     """
+    from ..ops.dfa3d import pallas_available
+
+    if pallas_available():
+        from ..ops.sweep_pallas import plane_sweep_correlation_pallas
+
+        return plane_sweep_correlation_pallas(
+            src_fea, ref_fea, src_proj, ref_proj, depth_values
+        )
     from ..ops.dfa3d_fast import bilinear_sample_patch
 
     n, c, h, w = src_fea.shape

@@ -1,0 +1,350 @@
+"""Fused plane-sweep warp + correlation Pallas TPU kernel.
+
+Replaces the XLA patch-gather path of ``depth_net.plane_sweep_correlation``
+(reference semantics: depth_est_fusion.py:85-126 homo_warping +
+:232-237 dot-product correlation; grid_sample(align_corners=False) with zero
+padding).  For every (neighbor-view, depth-plane, pixel):
+
+    corr = <bilinear_sample(src_fea, H_d(pixel)), ref_fea(pixel)> / sqrt(C)
+
+The warp rows of one plane scan the image almost monotonically (smooth
+homography), i.e. the COHERENT gather regime: measured ~95 M (1, 4C)-lane
+row copies/s on v5e (experiments/probe_sweep_gather.py) vs ~46 M patch
+gathers/s for the XLA path — the whole 40-view sweep drops ~100 ms -> ~55 ms.
+
+Layout: per source view a quad-corner image (row (y', x') holds the four
+bilinear corners A|B|C|D of the footprint whose top-left pixel is
+(y'-1, x'-1), c lanes each — the same trick as dfa3d_pallas2).  One gather of
+4C lanes per sample, VPU corner reduction, lane-sum against the VMEM-resident
+ref rows (sample order is plane-major so ref rows align per plane slice).
+
+Sampling locations are functions of static projections only, so the custom
+VJP needs value gradients only: d_ref rides the forward gather (accumulated
+across plane chunks), d_src scatter-adds per-corner updates into a quad
+gradient image, un-quadded outside.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .dfa3d_pallas import _round_up
+
+
+# ---------------------------------------------------------------------------
+# prep (plain XLA)
+# ---------------------------------------------------------------------------
+
+
+def _build_quad_value(img):
+    """(N, H, W, C) -> (N, Rq, 4C) f32 quad-corner image (edge-duplicated;
+    OOB slots only read with zero weight). Rq = (H+1)(W+1) padded to 8."""
+    n, h, w, c = img.shape
+    v = img.astype(jnp.float32)
+    vp = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    quad = jnp.concatenate(
+        [
+            vp[:, : h + 1, : w + 1],
+            vp[:, : h + 1, 1: w + 2],
+            vp[:, 1: h + 2, : w + 1],
+            vp[:, 1: h + 2, 1: w + 2],
+        ],
+        axis=-1,
+    ).reshape(n, (h + 1) * (w + 1), 4 * c)
+    rq = _round_up((h + 1) * (w + 1), 8)
+    if rq != quad.shape[1]:
+        quad = jnp.pad(quad, ((0, 0), (0, rq - quad.shape[1]), (0, 0)))
+    return quad
+
+
+def _sweep_rows_weights(x_eff, y_eff, h, w, hwp):
+    """Quad rows + corner weights for (N, D, HW) warp coords.
+
+    Returns rows (N, D, HWp) int32 and w4 (N, D, HWp, 4) f32, pixel-padded
+    with zero weights to HWp.
+    """
+    n, d, hw = x_eff.shape
+    x = jnp.clip(x_eff, -4.0, w + 4.0)
+    y = jnp.clip(y_eff, -4.0, h + 4.0)
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    lx = x - x0f
+    ly = y - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    vx0 = (x0 >= 0) & (x0 <= w - 1)
+    vx1 = (x0 + 1 >= 0) & (x0 + 1 <= w - 1)
+    vy0 = (y0 >= 0) & (y0 <= h - 1)
+    vy1 = (y0 + 1 >= 0) & (y0 + 1 <= h - 1)
+    w4 = jnp.stack(
+        [
+            (1 - ly) * (1 - lx) * (vy0 & vx0),
+            (1 - ly) * lx * (vy0 & vx1),
+            ly * (1 - lx) * (vy1 & vx0),
+            ly * lx * (vy1 & vx1),
+        ],
+        axis=-1,
+    )  # (N, D, HW, 4)
+    rows = jnp.clip(y0 + 1, 0, h) * (w + 1) + jnp.clip(x0 + 1, 0, w)
+    if hwp != hw:
+        rows = jnp.pad(rows, ((0, 0), (0, 0), (0, hwp - hw)))
+        w4 = jnp.pad(w4, ((0, 0), (0, 0), (0, hwp - hw), (0, 0)))
+    return rows, w4.astype(jnp.float32)
+
+
+def _gather_rows(rows_ref, img_ref, sc, m):
+    def outer(j, _):
+        def inner(l, _):
+            i = j * 128 + l
+            sc[pl.ds(i, 1), :] = img_ref[pl.ds(rows_ref[j, l], 1), :]
+            return 0
+
+        jax.lax.fori_loop(0, 128, inner, 0, unroll=False)
+        return 0
+
+    jax.lax.fori_loop(0, m // 128, outer, 0, unroll=False)
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(rows_ref, w4_ref, quad_ref, ref_ref, out_ref, sc, *, c, dpc,
+                hwp, inv_sqrt_c):
+    m = dpc * hwp
+    _gather_rows(rows_ref, quad_ref, sc, m)
+    ref = ref_ref[:]  # (hwp, c)
+    # per-plane compute: keeps vector live ranges at (hwp, 4c), not (m, 4c)
+    # — full-m expressions spill ~2.5 KB/sample of vregs at scale
+    for dp in range(dpc):
+        sl = pl.ds(dp * hwp, hwp)
+        s = sc[sl, :]
+        w4 = w4_ref[sl, :]
+        warped = None
+        for j in range(4):
+            term = w4[:, j:j + 1] * s[:, j * c:(j + 1) * c]
+            warped = term if warped is None else warped + term
+        corr = jnp.sum(warped * ref, axis=1, keepdims=True) * inv_sqrt_c
+        out_ref[sl, :] = jnp.broadcast_to(corr, (hwp, 8))
+
+
+def _bwd_kernel(rows_ref, w4_ref, g_ref, quad_ref, ref_ref, dquad_ref,
+                dref_ref, sc, *, c, dpc, hwp, inv_sqrt_c, nchunk):
+    m = dpc * hwp
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dquad_ref[:] = jnp.zeros_like(dquad_ref)
+        dref_ref[:] = jnp.zeros_like(dref_ref)
+
+    _gather_rows(rows_ref, quad_ref, sc, m)
+    ref = ref_ref[:]
+    # per-plane compute (see _fwd_kernel) — full-m expressions spill vregs.
+    # Each plane's gathered corners are consumed before its update rows are
+    # written, so the update rows REUSE the gather scratch in place.
+    for dp in range(dpc):
+        sl = pl.ds(dp * hwp, hwp)
+        s = sc[sl, :]
+        w4 = w4_ref[sl, :]
+        warped = None
+        for j in range(4):
+            term = w4[:, j:j + 1] * s[:, j * c:(j + 1) * c]
+            warped = term if warped is None else warped + term
+        gc = g_ref[sl, :][:, 0:1] * inv_sqrt_c  # lane 0 carries the grad
+        dref_ref[:] += gc * warped
+        dw = gc * ref  # (hwp, c)
+        sc[sl, :] = jnp.concatenate(
+            [w4[:, j:j + 1] * dw for j in range(4)], axis=1)
+
+    def outer(j, _):
+        def inner(l, _):
+            i = j * 128 + l
+            dquad_ref[pl.ds(rows_ref[j, l], 1), :] += sc[pl.ds(i, 1), :]
+            return 0
+
+        jax.lax.fori_loop(0, 128, inner, 0, unroll=False)
+        return 0
+
+    jax.lax.fori_loop(0, m // 128, outer, 0, unroll=False)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers + custom VJP
+# ---------------------------------------------------------------------------
+
+
+def _plan(d, hwp, c, rq, bwd=False):
+    """Planes per grid step, from explicit VMEM accounting (measured against
+    the compiler's scoped-vmem dumps): grid-indexed windows are
+    double-buffered AND lane-padded to 128, the gather scratch (dpc*hwp, 4c)
+    f32 (twice for bwd, which also stages update rows) is single-buffered,
+    and one plane's compute live range rides the register spill slots."""
+    width = 4 * c
+    limit = 96e6  # headroom under the 128 MB scoped capacity
+
+    def vmem(dpc):
+        m = dpc * hwp
+        fixed = 2 * (rq * width + hwp * 128) * 4  # quad + ref windows
+        per_step = 2 * m * 128 * 4  # w4 + out/g windows, lane-padded
+        scratch = m * width * 4
+        spill = 2 * hwp * width * 4  # one plane's live vectors
+        if bwd:
+            fixed += 2 * (rq * width + hwp * 128) * 4  # dquad + dref outputs
+        return fixed + 2 * per_step + scratch + spill
+
+    dpc = max(1, d)
+    while dpc > 1 and (d % dpc or vmem(dpc) > limit):
+        dpc -= 1
+    return dpc
+
+
+def _run_fwd(quad, ref, rows, w4, c, d, hwp):
+    n, rq, width = quad.shape
+    dpc = _plan(d, hwp, c, rq)
+    nchunk = d // dpc
+    m = dpc * hwp
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, c=c, dpc=dpc, hwp=hwp,
+                          inv_sqrt_c=1.0 / (c ** 0.5)),
+        grid=(n, nchunk),
+        out_shape=jax.ShapeDtypeStruct((n * d * hwp, 8), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((m // 128, 128), lambda i, j: (i * nchunk + j, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((m, 4), lambda i, j: (i * nchunk + j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rq, width), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hwp, c), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, 8), lambda i, j: (i * nchunk + j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((m, width), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(
+        rows.reshape(-1, 128),
+        w4.reshape(n * d * hwp, 4),
+        quad.reshape(n * rq, width),
+        ref.reshape(n * hwp, c),
+    )
+    return out.reshape(n, d, hwp, 8)[..., 0]
+
+
+def _run_bwd(quad, ref, rows, w4, g, c, d, hwp):
+    n, rq, width = quad.shape
+    dpc = _plan(d, hwp, c, rq, bwd=True)
+    nchunk = d // dpc
+    m = dpc * hwp
+    g8 = jnp.broadcast_to(g.astype(jnp.float32)[..., None],
+                          g.shape + (8,)).reshape(n * d * hwp, 8)
+    dquad, dref = pl.pallas_call(
+        functools.partial(_bwd_kernel, c=c, dpc=dpc, hwp=hwp,
+                          inv_sqrt_c=1.0 / (c ** 0.5), nchunk=nchunk),
+        grid=(n, nchunk),
+        out_shape=(
+            jax.ShapeDtypeStruct((n * rq, width), jnp.float32),
+            jax.ShapeDtypeStruct((n * hwp, c), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec((m // 128, 128), lambda i, j: (i * nchunk + j, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((m, 4), lambda i, j: (i * nchunk + j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, 8), lambda i, j: (i * nchunk + j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rq, width), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hwp, c), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((rq, width), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hwp, c), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((m, width), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(
+        rows.reshape(-1, 128),
+        w4.reshape(n * d * hwp, 4),
+        g8,
+        quad.reshape(n * rq, width),
+        ref.reshape(n * hwp, c),
+    )
+    return dquad.reshape(n, rq, width), dref.reshape(n, hwp, c)
+
+
+@jax.custom_vjp
+def _sweep_core(src_img, ref_img, x_eff, y_eff):
+    """src_img/ref_img: (N, H, W, C) f32; x_eff/y_eff: (N, D, HW) f32.
+    Returns corr (N, D, HW) f32 (pre-scaled by 1/sqrt(C))."""
+    out, _ = _sweep_fwd(src_img, ref_img, x_eff, y_eff)
+    return out
+
+
+def _sweep_fwd(src_img, ref_img, x_eff, y_eff):
+    n, h, w, c = src_img.shape
+    d, hw = x_eff.shape[1:]
+    hwp = _round_up(hw, 1024)
+    quad = _build_quad_value(src_img)
+    rows, w4 = _sweep_rows_weights(x_eff, y_eff, h, w, hwp)
+    ref = ref_img.astype(jnp.float32).reshape(n, hw, c)
+    if hwp != hw:
+        ref = jnp.pad(ref, ((0, 0), (0, hwp - hw), (0, 0)))
+    out = _run_fwd(quad, ref, rows, w4, c, d, hwp)
+    return out[..., :hw], (src_img, ref_img, x_eff, y_eff)
+
+
+def _sweep_bwd(res, g):
+    src_img, ref_img, x_eff, y_eff = res
+    n, h, w, c = src_img.shape
+    d, hw = x_eff.shape[1:]
+    hwp = _round_up(hw, 1024)
+    quad = _build_quad_value(src_img)
+    rows, w4 = _sweep_rows_weights(x_eff, y_eff, h, w, hwp)
+    ref = ref_img.astype(jnp.float32).reshape(n, hw, c)
+    if hwp != hw:
+        ref = jnp.pad(ref, ((0, 0), (0, hwp - hw), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, hwp - hw)))
+    dquad, dref = _run_bwd(quad, ref, rows, w4, g, c, d, hwp)
+
+    # un-quad: pixel (y, x) sums its four corner slots from neighboring rows
+    dquad = dquad[:, : (h + 1) * (w + 1)].reshape(n, h + 1, w + 1, 4 * c)
+    cA, cB, cC, cD = (dquad[..., i * c:(i + 1) * c] for i in range(4))
+    d_src = (
+        cA[:, 1:, 1:] + cB[:, 1:, :-1] + cC[:, :-1, 1:] + cD[:, :-1, :-1]
+    )
+    d_ref = dref[:, :hw].reshape(n, h, w, c)
+    return (d_src.astype(src_img.dtype), d_ref.astype(ref_img.dtype),
+            None, None)
+
+
+_sweep_core.defvjp(lambda s, r, x, y: _sweep_fwd(s, r, x, y), _sweep_bwd)
+
+
+def plane_sweep_correlation_pallas(src_fea, ref_fea, src_proj, ref_proj,
+                                   depth_values):
+    """Drop-in Pallas replacement for depth_net.plane_sweep_correlation.
+
+    src_fea/ref_fea: (N, C, H, W); returns (N, D, H, W) in src_fea's dtype.
+    """
+    from ..models.depth_net import _warp_grid
+
+    n, c, h, w = src_fea.shape
+    x_eff, y_eff = _warp_grid(src_proj, ref_proj, depth_values, h, w)
+    src_img = jnp.transpose(src_fea, (0, 2, 3, 1))
+    ref_img = jnp.transpose(ref_fea, (0, 2, 3, 1))
+    corr = _sweep_core(src_img, ref_img, x_eff.astype(jnp.float32),
+                       y_eff.astype(jnp.float32))
+    return corr.reshape(n, -1, h, w).astype(src_fea.dtype)
