@@ -8,9 +8,10 @@ padding).  For every (neighbor-view, depth-plane, pixel):
     corr = <bilinear_sample(src_fea, H_d(pixel)), ref_fea(pixel)> / sqrt(C)
 
 The warp rows of one plane scan the image almost monotonically (smooth
-homography), i.e. the COHERENT gather regime: measured ~95 M (1, 4C)-lane
-row copies/s on v5e (experiments/probe_sweep_gather.py) vs ~46 M patch
-gathers/s for the XLA path — the whole 40-view sweep drops ~100 ms -> ~55 ms.
+homography).  With 8 independent row copies per loop iteration the kernel
+measures ~107 M (1, 4C)-lane row copies/s on v5e (experiments/
+probe_sweep_split.py) — the 40-view sweep drops ~100 ms -> ~70 ms fwd and
+519 ms -> ~150 ms grad.
 
 Layout: per source view a quad-corner image (row (y', x') holds the four
 bilinear corners A|B|C|D of the footprint whose top-left pixel is
@@ -97,13 +98,18 @@ def _sweep_rows_weights(x_eff, y_eff, h, w, hwp):
 
 
 def _gather_rows(rows_ref, img_ref, sc, m):
+    # 8 independent single-row copies per loop iteration: the gather loop is
+    # iteration-overhead-bound, not bytes-bound (experiments/
+    # probe_gather_unroll.py: ~1.6x over one copy/iter at the sweep shape)
     def outer(j, _):
         def inner(l, _):
-            i = j * 128 + l
-            sc[pl.ds(i, 1), :] = img_ref[pl.ds(rows_ref[j, l], 1), :]
+            base = j * 128 + l * 8
+            for s in range(8):
+                sc[pl.ds(base + s, 1), :] = img_ref[
+                    pl.ds(rows_ref[j, l * 8 + s], 1), :]
             return 0
 
-        jax.lax.fori_loop(0, 128, inner, 0, unroll=False)
+        jax.lax.fori_loop(0, 16, inner, 0, unroll=False)
         return 0
 
     jax.lax.fori_loop(0, m // 128, outer, 0, unroll=False)
@@ -163,11 +169,13 @@ def _bwd_kernel(rows_ref, w4_ref, g_ref, quad_ref, ref_ref, dquad_ref,
 
     def outer(j, _):
         def inner(l, _):
-            i = j * 128 + l
-            dquad_ref[pl.ds(rows_ref[j, l], 1), :] += sc[pl.ds(i, 1), :]
+            base = j * 128 + l * 8
+            for s in range(8):
+                dquad_ref[pl.ds(rows_ref[j, l * 8 + s], 1), :] += sc[
+                    pl.ds(base + s, 1), :]
             return 0
 
-        jax.lax.fori_loop(0, 128, inner, 0, unroll=False)
+        jax.lax.fori_loop(0, 16, inner, 0, unroll=False)
         return 0
 
     jax.lax.fori_loop(0, m // 128, outer, 0, unroll=False)
