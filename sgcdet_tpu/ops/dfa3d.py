@@ -8,11 +8,32 @@ tests/test_dfa3d_fast.py and tests/test_dfa3d_pallas.py.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 
 from .dfa3d_fast import dfa3d_attention_fast, msda_2d_fast
-from .dfa3d_pallas import dfa3d_attention_pallas
-from .dfa3d_pallas2 import dfa3d_attention_pallas_v2
+from .dfa3d_pallas import dfa3d_attention_pallas, _fwd_impl as _v1_fwd_impl
+from .dfa3d_pallas2 import dfa3d_attention_pallas_v2, _vjp_bwd_v2
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def dfa3d_attention_pallas_mixed(value_img, dpt_img, sampling_locations,
+                                 attention_weights, num_heads):
+    """Best-of-both Pallas DFA3D: v1 pair-row forward + v2 quad-corner
+    backward.  With 8 row copies per gather-loop iteration the v1 forward is
+    the fastest (155 ms vs v2's 168 at the ScanNet L2 stage-2 shape) while
+    the v2 backward remains ~1.4x faster than v1's (experiments/
+    bench_pallas2.py, 2026-08-17).  Both store the same residuals (the raw
+    primal inputs), so the VJP halves compose directly."""
+    out, _ = _v1_fwd_impl(value_img, dpt_img, sampling_locations,
+                          attention_weights, num_heads)
+    return out
+
+
+# defvjp's fwd must return (out, residuals); v1's _fwd_impl already does,
+# and both kernels store the same residuals (the raw primal inputs)
+dfa3d_attention_pallas_mixed.defvjp(_v1_fwd_impl, _vjp_bwd_v2)
 
 # None = auto-detect; True/False force the Pallas kernel on/off (tests, bench)
 _FORCE_PALLAS: bool | None = None
@@ -41,10 +62,10 @@ def dfa3d_attend(value_img, dpt_img, sampling_locations, attention_weights,
     if pallas_available():
         heads_p = num_heads * sampling_locations.shape[3]
         if heads_p > 1:
-            # multi-head stage-2: the quad-corner-row kernel (one narrow
-            # gather per sample; measured 1.15x fwd / 1.47x bwd over v1 at
-            # the L2 stage-2 shape — experiments/bench_pallas2.py)
-            return dfa3d_attention_pallas_v2(
+            # multi-head stage-2: v1 pair-row forward (fastest after the
+            # 8-copies-per-iteration widening) + v2 quad-corner backward
+            # (~1.4x over v1's) — experiments/bench_pallas2.py, 2026-08-17
+            return dfa3d_attention_pallas_mixed(
                 value_img, dpt_img, sampling_locations, attention_weights,
                 num_heads,
             )

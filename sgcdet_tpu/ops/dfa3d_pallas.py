@@ -182,22 +182,27 @@ def _sample_quantities(locs, attn, h, w, d_size, qb):
 
 
 def _gather_loop(rows_ref, img_ref, sc0, sc1, m):
-    """Two single-row dynamic-slice copies per sample; nested loops so the
-    SMEM index math is add-only (div/mod on the critical path costs ~40%).
-    rows_ref packs y0 rows in the first m//128 sublane rows and y1 rows in
-    the next m//128."""
+    """Eight single-row dynamic-slice copies per loop iteration (4 samples x
+    2 pair-rows); the loop is iteration-overhead-bound (~25M iters/s), so
+    batching copies into fewer iterations raises throughput ~1.5x
+    (experiments/probe_gather_unroll.py).  Nested loops keep the SMEM index
+    math add-only (div/mod on the critical path costs ~40%).  rows_ref packs
+    y0 rows in the first m//128 sublane rows and y1 rows in the next m//128."""
     half = m // 128
 
     def outer(j, _):
         base = j * 128
 
         def inner(l, _):
-            i = base + l
-            sc0[pl.ds(i, 1), :] = img_ref[pl.ds(rows_ref[j, l], 1), :]
-            sc1[pl.ds(i, 1), :] = img_ref[pl.ds(rows_ref[half + j, l], 1), :]
+            i = base + l * 4
+            for t in range(4):
+                sc0[pl.ds(i + t, 1), :] = img_ref[
+                    pl.ds(rows_ref[j, l * 4 + t], 1), :]
+                sc1[pl.ds(i + t, 1), :] = img_ref[
+                    pl.ds(rows_ref[half + j, l * 4 + t], 1), :]
             return 0
 
-        jax.lax.fori_loop(0, 128, inner, 0, unroll=False)
+        jax.lax.fori_loop(0, 32, inner, 0, unroll=False)
         return 0
 
     jax.lax.fori_loop(0, half, outer, 0, unroll=False)
@@ -318,12 +323,15 @@ def _scatter_loop(rows_ref, dimg_ref, u0, u1, m):
         base = j * 128
 
         def inner(l, _):
-            i = base + l
-            dimg_ref[pl.ds(rows_ref[j, l], 1), :] += u0[pl.ds(i, 1), :]
-            dimg_ref[pl.ds(rows_ref[half + j, l], 1), :] += u1[pl.ds(i, 1), :]
+            i = base + l * 4
+            for t in range(4):
+                dimg_ref[pl.ds(rows_ref[j, l * 4 + t], 1), :] += u0[
+                    pl.ds(i + t, 1), :]
+                dimg_ref[pl.ds(rows_ref[half + j, l * 4 + t], 1), :] += u1[
+                    pl.ds(i + t, 1), :]
             return 0
 
-        jax.lax.fori_loop(0, 128, inner, 0, unroll=False)
+        jax.lax.fori_loop(0, 32, inner, 0, unroll=False)
         return 0
 
     jax.lax.fori_loop(0, half, outer, 0, unroll=False)

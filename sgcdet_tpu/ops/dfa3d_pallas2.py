@@ -189,19 +189,23 @@ def _gather_loop_v2(rows_ref, img_ref, scs, qb):
     [j*qb/128, (j+1)*qb/128)."""
     p = len(scs)
     seg = qb // 128
+    # 2 queries x P points per iteration: the loop is iteration-overhead-
+    # bound (~25M iters/s), so more copies per iteration raise throughput
+    # (experiments/probe_gather_unroll.py)
 
     def outer(j, _):
         base = j * 128
 
         def inner(l, _):
-            i = base + l
-            for pt in range(p):
-                scs[pt][pl.ds(i, 1), :] = img_ref[
-                    pl.ds(rows_ref[pt * seg + j, l], 1), :
-                ]
+            i = base + l * 2
+            for t in range(2):
+                for pt in range(p):
+                    scs[pt][pl.ds(i + t, 1), :] = img_ref[
+                        pl.ds(rows_ref[pt * seg + j, l * 2 + t], 1), :
+                    ]
             return 0
 
-        jax.lax.fori_loop(0, 128, inner, 0, unroll=False)
+        jax.lax.fori_loop(0, 64, inner, 0, unroll=False)
         return 0
 
     jax.lax.fori_loop(0, seg, outer, 0, unroll=False)
@@ -278,14 +282,14 @@ def _bwd_kernel_v2(rows_ref, winfo_ref, g_ref, img_ref, dimg_ref, dw4_ref,
         base = j * 128
 
         def inner(l, _):
-            i = base + l
-            for pt in range(p):
-                dimg_ref[pl.ds(rows_ref[pt * seg + j, l], 1), :] += us[pt][
-                    pl.ds(i, 1), :
-                ]
+            i = base + l * 2
+            for t in range(2):
+                for pt in range(p):
+                    dimg_ref[pl.ds(rows_ref[pt * seg + j, l * 2 + t], 1), :] += \
+                        us[pt][pl.ds(i + t, 1), :]
             return 0
 
-        jax.lax.fori_loop(0, 128, inner, 0, unroll=False)
+        jax.lax.fori_loop(0, 64, inner, 0, unroll=False)
         return 0
 
     jax.lax.fori_loop(0, seg, outer, 0, unroll=False)
@@ -339,7 +343,7 @@ def _run_fwd_v2(quad, rows, winfo, heads, c, p, qb, d_size):
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((qb, width), jnp.float32) for _ in range(p)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024,
+            vmem_limit_bytes=118 * 1024 * 1024,
         ),
     )(
         rows.reshape(-1, 128),

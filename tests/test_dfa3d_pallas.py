@@ -99,3 +99,46 @@ def test_bf16_inputs_close():
     assert out.dtype == jnp.bfloat16
     scale = max(float(jnp.abs(ref).max()), 1.0)
     assert float(jnp.abs(out.astype(jnp.float32) - ref).max()) < 2e-2 * scale
+
+
+@pytest.mark.parametrize(
+    "n,h,w,k,heads,c,p,d",
+    [
+        (2, 8, 10, 24, 2, 8, 2, 5),
+        (2, 30, 40, 320, 8, 32, 4, 12),   # stage-2 shape (the dispatch target)
+    ],
+)
+def test_mixed_fwd_and_grads_match_oracle(n, h, w, k, heads, c, p, d):
+    """v1-forward + v2-backward composite op used by the stage-2 dispatch."""
+    from sgcdet_tpu.ops.dfa3d import dfa3d_attention_pallas_mixed
+
+    value_img, dpt_img, locs, attn = _case(n, h, w, k, heads, c, p, d)
+    cos_w = jnp.cos(jnp.arange(n * k * heads * c, dtype=jnp.float32)).reshape(
+        n, k, heads * c
+    )
+
+    def loss_ref(vi, di, lo, at):
+        o, _ = dfa3d_attention(
+            vi.reshape(n, h * w, heads, c), di.reshape(n, h * w, d),
+            ((h, w),), lo[:, :, :, None], at[:, :, :, None],
+        )
+        return jnp.sum(o * cos_w)
+
+    def loss_mix(vi, di, lo, at):
+        return jnp.sum(
+            dfa3d_attention_pallas_mixed(vi, di, lo, at, heads) * cos_w
+        )
+
+    ref, _ = dfa3d_attention(
+        value_img.reshape(n, h * w, heads, c), dpt_img.reshape(n, h * w, d),
+        ((h, w),), locs[:, :, :, None], attn[:, :, :, None],
+    )
+    out = dfa3d_attention_pallas_mixed(value_img, dpt_img, locs, attn, heads)
+    scale = max(float(jnp.abs(ref).max()), 1.0)
+    assert float(jnp.abs(out - ref).max()) < 2e-5 * scale
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(value_img, dpt_img, locs, attn)
+    gp = jax.grad(loss_mix, argnums=(0, 1, 2, 3))(value_img, dpt_img, locs, attn)
+    for name, a, b in zip(["d_value", "d_dpt", "d_locs", "d_attn"], gr, gp):
+        scale = max(float(jnp.abs(a).max()), 1.0)
+        assert float(jnp.abs(a - b).max()) < 5e-4 * scale, name
