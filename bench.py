@@ -154,12 +154,12 @@ def main():
         "pallas_kernel_oracle_maxerr": kerr,
         "baseline_scenes_per_sec_40views_rtx3090_est": REF_EST_40VIEW,
         "vs_same_chip_xla_path_measured": round(sps_40 / XLA_PATH_40VIEW, 4),
-        # measured 2026-08-17 on v5e with the round-3 v2-kernel revision
+        # measured 2026-08-17 on v5e with the round-3 mixed-kernel revision
         # (re-measured live below when the bench time budget allows; keys
         # re-measured live land in `live` and flip extras_kind):
-        "scannet_100view_eval_scenes_per_sec": 1.0461,
-        "scannet200_large_40view_scenes_per_sec": 0.8121,
-        "extras_kind": "cached_2026-08-17_r3",
+        "scannet_100view_eval_scenes_per_sec": 1.3217,
+        "scannet200_large_40view_scenes_per_sec": 0.8858,
+        "extras_kind": "cached_2026-08-17_r3b",
     }
     variants = [
         ("scannet_100view_eval_scenes_per_sec", "scannet", 100, None, "ring"),

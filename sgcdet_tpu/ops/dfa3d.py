@@ -62,10 +62,20 @@ def dfa3d_attend(value_img, dpt_img, sampling_locations, attention_weights,
     if pallas_available():
         heads_p = num_heads * sampling_locations.shape[3]
         if heads_p > 1:
-            # multi-head stage-2: v1 pair-row forward (fastest after the
-            # 8-copies-per-iteration widening) + v2 quad-corner backward
-            # (~1.4x over v1's) — experiments/bench_pallas2.py, 2026-08-17
-            return dfa3d_attention_pallas_mixed(
+            # multi-head stage-2.  The v2 quad-corner backward is ~1.4x
+            # faster everywhere; the faster FORWARD depends on the total
+            # channel width: wide rows (cfull>=256, ScanNet embed_dims=256)
+            # amortize v1's pair-row gathers (155 vs 168 ms at the ScanNet
+            # L2 shape) while narrow rows (cfull=128, the _LARGE configs)
+            # favor v2's 4(c+D)-lane quad gathers (732 vs 1075 ms at the
+            # large L2 shape) — experiments/bench_pallas2.py + /tmp/ab_large
+            # measurements, 2026-08-17.
+            if value_img.shape[-1] >= 256:
+                return dfa3d_attention_pallas_mixed(
+                    value_img, dpt_img, sampling_locations, attention_weights,
+                    num_heads,
+                )
+            return dfa3d_attention_pallas_v2(
                 value_img, dpt_img, sampling_locations, attention_weights,
                 num_heads,
             )
