@@ -34,6 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .dfa3d_pallas import _round_up
+from .dfa3d_pallas3 import _pack2, _unpack_hi, _unpack_lo
 
 
 # ---------------------------------------------------------------------------
@@ -60,6 +61,27 @@ def _build_quad_value(img):
     if rq != quad.shape[1]:
         quad = jnp.pad(quad, ((0, 0), (0, rq - quad.shape[1]), (0, 0)))
     return quad
+
+
+def _build_quad_packed_value(img):
+    """(N, H, W, C) -> (N, Rq, 2C) bf16-packed quad rows: word k of the
+    first C lanes packs corners (A, B) of channel k, the second C lanes pack
+    (C, D).  HALF the gather bytes of the f32 quad image — used for bf16
+    inputs, where the packing is lossless (see dfa3d_pallas3)."""
+    n, h, w, c = img.shape
+    v = img.astype(jnp.float32)
+    vp = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    packed = jnp.concatenate(
+        [
+            _pack2(vp[:, : h + 1, : w + 1], vp[:, : h + 1, 1: w + 2]),
+            _pack2(vp[:, 1: h + 2, : w + 1], vp[:, 1: h + 2, 1: w + 2]),
+        ],
+        axis=-1,
+    ).reshape(n, (h + 1) * (w + 1), 2 * c)
+    rq = _round_up((h + 1) * (w + 1), 8)
+    if rq != packed.shape[1]:
+        packed = jnp.pad(packed, ((0, 0), (0, rq - packed.shape[1]), (0, 0)))
+    return packed
 
 
 def _sweep_rows_weights(x_eff, y_eff, h, w, hwp):
@@ -139,6 +161,28 @@ def _fwd_kernel(rows_ref, w4_ref, quad_ref, ref_ref, out_ref, sc, *, c, dpc,
         out_ref[sl, :] = jnp.broadcast_to(corr, (hwp, 8))
 
 
+def _fwd_kernel_pk(rows_ref, w4_ref, quad_ref, ref_ref, out_ref, sc, *, c,
+                   dpc, hwp, inv_sqrt_c):
+    """Packed-row forward: corner pairs unpacked in-register (two integer
+    ops + a bitcast per corner slice)."""
+    m = dpc * hwp
+    _gather_rows(rows_ref, quad_ref, sc, m)
+    ref = ref_ref[:]  # (hwp, c)
+    for dp in range(dpc):
+        sl = pl.ds(dp * hwp, hwp)
+        s = sc[sl, :]
+        w4 = w4_ref[sl, :]
+        warped = None
+        for j, (off, unpack) in enumerate((
+            (0, _unpack_hi), (0, _unpack_lo), (1, _unpack_hi),
+            (1, _unpack_lo),
+        )):
+            term = w4[:, j:j + 1] * unpack(s[:, off * c:(off + 1) * c])
+            warped = term if warped is None else warped + term
+        corr = jnp.sum(warped * ref, axis=1, keepdims=True) * inv_sqrt_c
+        out_ref[sl, :] = jnp.broadcast_to(corr, (hwp, 8))
+
+
 def _bwd_kernel(rows_ref, w4_ref, g_ref, quad_ref, ref_ref, dquad_ref,
                 dref_ref, sc, *, c, dpc, hwp, inv_sqrt_c, nchunk):
     m = dpc * hwp
@@ -186,13 +230,13 @@ def _bwd_kernel(rows_ref, w4_ref, g_ref, quad_ref, ref_ref, dquad_ref,
 # ---------------------------------------------------------------------------
 
 
-def _plan(d, hwp, c, rq, bwd=False):
+def _plan(d, hwp, c, rq, bwd=False, width=None):
     """Planes per grid step, from explicit VMEM accounting (measured against
     the compiler's scoped-vmem dumps): grid-indexed windows are
-    double-buffered AND lane-padded to 128, the gather scratch (dpc*hwp, 4c)
+    double-buffered AND lane-padded to 128, the gather scratch (dpc*hwp, width)
     f32 (twice for bwd, which also stages update rows) is single-buffered,
     and one plane's compute live range rides the register spill slots."""
-    width = 4 * c
+    width = 4 * c if width is None else width
     limit = 96e6  # headroom under the 128 MB scoped capacity
 
     def vmem(dpc):
@@ -241,6 +285,41 @@ def _run_fwd(quad, ref, rows, w4, c, d, hwp):
         rows.reshape(-1, 128),
         w4.reshape(n * d * hwp, 4),
         quad.reshape(n * rq, width),
+        ref.reshape(n * hwp, c),
+    )
+    return out.reshape(n, d, hwp, 8)[..., 0]
+
+
+def _run_fwd_pk(packed, ref, rows, w4, c, d, hwp):
+    n, rq, width = packed.shape  # width = 2c
+    dpc = _plan(d, hwp, c, rq, width=width)
+    nchunk = d // dpc
+    m = dpc * hwp
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_pk, c=c, dpc=dpc, hwp=hwp,
+                          inv_sqrt_c=1.0 / (c ** 0.5)),
+        grid=(n, nchunk),
+        out_shape=jax.ShapeDtypeStruct((n * d * hwp, 8), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((m // 128, 128), lambda i, j: (i * nchunk + j, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((m, 4), lambda i, j: (i * nchunk + j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rq, width), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hwp, c), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, 8), lambda i, j: (i * nchunk + j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((m, width), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(
+        rows.reshape(-1, 128),
+        w4.reshape(n * d * hwp, 4),
+        packed.reshape(n * rq, width),
         ref.reshape(n * hwp, c),
     )
     return out.reshape(n, d, hwp, 8)[..., 0]
@@ -305,12 +384,16 @@ def _sweep_fwd(src_img, ref_img, x_eff, y_eff):
     n, h, w, c = src_img.shape
     d, hw = x_eff.shape[1:]
     hwp = _round_up(hw, 1024)
-    quad = _build_quad_value(src_img)
     rows, w4 = _sweep_rows_weights(x_eff, y_eff, h, w, hwp)
     ref = ref_img.astype(jnp.float32).reshape(n, hw, c)
     if hwp != hw:
         ref = jnp.pad(ref, ((0, 0), (0, hwp - hw), (0, 0)))
-    out = _run_fwd(quad, ref, rows, w4, c, d, hwp)
+    if src_img.dtype == jnp.bfloat16:
+        # bf16-packed quad rows: HALF the gather bytes, lossless for bf16
+        out = _run_fwd_pk(_build_quad_packed_value(src_img), ref, rows, w4,
+                          c, d, hwp)
+    else:
+        out = _run_fwd(_build_quad_value(src_img), ref, rows, w4, c, d, hwp)
     return out[..., :hw], (src_img, ref_img, x_eff, y_eff)
 
 

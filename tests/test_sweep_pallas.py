@@ -82,6 +82,8 @@ def test_sweep_kernel_grads_match_xla():
 
 
 def test_sweep_kernel_bf16_close():
+    # bf16 inputs take the PACKED-row forward (_run_fwd_pk): corner pairs
+    # packed as bf16 into f32 words, half the gather bytes
     from sgcdet_tpu.ops.sweep_pallas import plane_sweep_correlation_pallas
 
     src, ref, proj, nei, dv = _case(seed=3)
@@ -92,3 +94,30 @@ def test_sweep_kernel_bf16_close():
     assert got.dtype == jnp.bfloat16
     scale = max(float(jnp.abs(want).max()), 1.0)
     assert float(jnp.abs(got.astype(jnp.float32) - want).max()) < 2e-2 * scale
+
+
+def test_sweep_packed_exact_vs_bf16_rounded_ref():
+    """The packed forward is EXACT on bf16-rounded inputs: compare against
+    the XLA reference fed the same rounded values (f32 compute both sides)."""
+    from sgcdet_tpu.ops.sweep_pallas import plane_sweep_correlation_pallas
+
+    src, ref, proj, nei, dv = _case(seed=4)
+    srcr = src.astype(jnp.bfloat16).astype(jnp.float32)
+    refr = ref.astype(jnp.bfloat16).astype(jnp.float32)
+    want = _xla_ref(srcr[nei], refr, proj[nei], proj, dv)
+    got = plane_sweep_correlation_pallas(
+        src[nei].astype(jnp.bfloat16), ref.astype(jnp.bfloat16),
+        proj[nei], proj, dv)
+    scale = max(float(jnp.abs(want).max()), 1.0)
+    # got is bf16 (output cast) — bf16 output rounding is the only delta
+    assert float(jnp.abs(got.astype(jnp.float32) - want).max()) < 8e-3 * scale
+
+    # bf16 grads still flow through the f32 backward
+    def loss(s, r):
+        return jnp.sum(plane_sweep_correlation_pallas(
+            s[nei], r, proj[nei], proj, dv).astype(jnp.float32) ** 2)
+
+    gs, gr = jax.grad(loss, argnums=(0, 1))(
+        src.astype(jnp.bfloat16), ref.astype(jnp.bfloat16))
+    assert bool(jnp.isfinite(gs.astype(jnp.float32)).all())
+    assert bool(jnp.isfinite(gr.astype(jnp.float32)).all())
