@@ -92,6 +92,13 @@ class AdaptiveSparseVolume(nn.Module):
                 occ_preds_list.append(occ)
                 k = self.topk_list[i - 1]
                 _, top_idx = jax.lax.top_k(occ, k)  # static K indices
+                # spatial scan order (the reference's nonzero() order,
+                # AdaptiveSparseHead.py:85-92): downstream take/scatter are
+                # permutation-equivariant, and scan-ordered queries project
+                # to spatially COHERENT image rows — coherent single-row
+                # gathers run ~3x the random rate in the Pallas lifting
+                # kernels (sort of K int32 is noise next to that)
+                top_idx = jnp.sort(top_idx)
                 ref_sel = jnp.take(ref_all, top_idx, axis=0)  # (K, 3)
                 seeds = transformer(
                     ref_sel, origin, projection, [feat], [dpt], img_shape, dbound, train

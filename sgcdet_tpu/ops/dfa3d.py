@@ -13,8 +13,13 @@ import functools
 import jax
 
 from .dfa3d_fast import dfa3d_attention_fast, msda_2d_fast
-from .dfa3d_pallas import dfa3d_attention_pallas, _fwd_impl as _v1_fwd_impl
+from .dfa3d_pallas import (
+    dfa3d_attention_pallas,
+    _fwd_impl as _v1_fwd_impl,
+    _vjp_bwd as _vjp_bwd_v1,
+)
 from .dfa3d_pallas2 import dfa3d_attention_pallas_v2, _vjp_bwd_v2
+from .dfa3d_pallas3 import _fwd_impl_pq
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -34,6 +39,33 @@ def dfa3d_attention_pallas_mixed(value_img, dpt_img, sampling_locations,
 # defvjp's fwd must return (out, residuals); v1's _fwd_impl already does,
 # and both kernels store the same residuals (the raw primal inputs)
 dfa3d_attention_pallas_mixed.defvjp(_v1_fwd_impl, _vjp_bwd_v2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def dfa3d_attention_pallas_pq_s2(value_img, dpt_img, sampling_locations,
+                                 attention_weights, num_heads):
+    """Packed-quad bf16 forward (ONE half-width row copy per sample,
+    dfa3d_pallas3) + v2 quad-corner backward.  For bf16 inputs the packing
+    is lossless; the backward recomputes from the exact primals."""
+    out, _ = _fwd_impl_pq(value_img, dpt_img, sampling_locations,
+                          attention_weights, num_heads)
+    return out
+
+
+dfa3d_attention_pallas_pq_s2.defvjp(_fwd_impl_pq, _vjp_bwd_v2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def dfa3d_attention_pallas_pq_s1(value_img, dpt_img, sampling_locations,
+                                 attention_weights, num_heads):
+    """Packed-quad bf16 forward + v1 pair-row backward (stage-1 shapes:
+    heads=1, P=1 — the v2 per-head quad backward does not apply there)."""
+    out, _ = _fwd_impl_pq(value_img, dpt_img, sampling_locations,
+                          attention_weights, num_heads)
+    return out
+
+
+dfa3d_attention_pallas_pq_s1.defvjp(_fwd_impl_pq, _vjp_bwd_v1)
 
 # None = auto-detect; True/False force the Pallas kernel on/off (tests, bench)
 _FORCE_PALLAS: bool | None = None

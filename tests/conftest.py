@@ -20,6 +20,15 @@ if not _USE_TPU:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
     jax.config.update("jax_default_matmul_precision", "highest")
+    # the axon sitecustomize monkeypatches backend init and, when its TPU
+    # tunnel is down, can HANG (not error) inside make_c_api_client even
+    # with jax_platforms=cpu — drop the factory so CPU tests never touch it
+    try:
+        from jax._src import xla_bridge as _xb
+
+        _xb._backend_factories.pop("axon", None)
+    except Exception:
+        pass
 
 import pytest
 

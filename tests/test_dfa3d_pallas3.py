@@ -56,3 +56,42 @@ def test_pq_forward_matches_oracle(n, h, w, k, heads, c, p, d):
     out = dfa3d_attention_pallas_pq(value_img, dpt_img, locs, attn, heads)
     scale = max(float(jnp.abs(ref).max()), 1.0)
     assert float(jnp.abs(out - ref).max()) < 1e-4 * scale
+
+
+@pytest.mark.parametrize(
+    "n,h,w,k,heads,c,p,d",
+    [
+        (2, 8, 10, 24, 2, 8, 2, 5),      # pq fwd + v2 quad backward
+        (3, 15, 20, 40, 1, 64, 1, 12),   # pq fwd + v1 pair backward (stage-1)
+    ],
+)
+def test_pq_mixed_vjp_grads_match_oracle(n, h, w, k, heads, c, p, d):
+    """The production wiring pairs the pq forward with the v1/v2 backward
+    (ops.dfa3d); the VJP composition must reproduce oracle autodiff grads
+    (backward runs from exact f32 primals — full precision)."""
+    from sgcdet_tpu.ops.dfa3d import (
+        dfa3d_attention_pallas_pq_s1,
+        dfa3d_attention_pallas_pq_s2,
+    )
+    from sgcdet_tpu.ops.msda import dfa3d_attention
+
+    wrapper = (dfa3d_attention_pallas_pq_s1 if heads * p == 1
+               else dfa3d_attention_pallas_pq_s2)
+    value_img, dpt_img, locs, attn = _case(n, h, w, k, heads, c, p, d)
+    cos_w = jnp.cos(jnp.arange(n * k * heads * c, dtype=jnp.float32)).reshape(
+        n, k, heads * c)
+
+    def loss_ref(vi, di, lo, at):
+        o, _ = dfa3d_attention(
+            vi.reshape(n, h * w, heads, c), di.reshape(n, h * w, d),
+            ((h, w),), lo[:, :, :, None], at[:, :, :, None])
+        return jnp.sum(o * cos_w)
+
+    def loss_pq(vi, di, lo, at):
+        return jnp.sum(wrapper(vi, di, lo, at, heads) * cos_w)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(value_img, dpt_img, locs, attn)
+    gp = jax.grad(loss_pq, argnums=(0, 1, 2, 3))(value_img, dpt_img, locs, attn)
+    for name, a, b in zip(["d_value", "d_dpt", "d_locs", "d_attn"], gr, gp):
+        scale = max(float(jnp.abs(a).max()), 1.0)
+        assert float(jnp.abs(a - b).max()) < 5e-4 * scale, name
