@@ -11,6 +11,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import jax.numpy as jnp
 
 from .dfa3d_fast import dfa3d_attention_fast, msda_2d_fast
 from .dfa3d_pallas import (
@@ -90,32 +91,42 @@ def pallas_available() -> bool:
 
 def dfa3d_attend(value_img, dpt_img, sampling_locations, attention_weights,
                  num_heads, query_chunk=None):
-    """Fused depth-weighted deformable attention; see dfa3d_fast for shapes."""
+    """Fused depth-weighted deformable attention; see dfa3d_fast for shapes.
+
+    Kernel choice (measured on v5e, experiments/bench_kernels.py 2026-08-18;
+    random and post-sort-coherent sampling locations time identically — the
+    gather loop is copy-issue-bound, not cache-bound):
+
+    - The packed-quad bf16 forward (ONE half-width row copy per sample,
+      ``dfa3d_pallas3``) is fastest wherever its bf16 packing is lossless,
+      i.e. when the inputs already ARE bf16 (the default compute dtype):
+      stage-2 cfull=256: 129 ms vs v1's 156; stage-1 cfull=128: 29 vs 41.
+      Exception: stage-2 at narrow cfull=128, where v2's 4(c+D)-lane
+      per-head quad rows are narrower still (894 vs 720 ms) — keep v2.
+    - For f32 inputs (``compute_dtype='float32'`` configs, kernel tests)
+      the packing would round the forward to bf16, so keep the exact f32
+      kernels: v1 pair-row fwd + v2 quad bwd ("mixed") at cfull>=256,
+      v2 at cfull=128, v1 at stage-1.
+    """
     if pallas_available():
         heads_p = num_heads * sampling_locations.shape[3]
+        bf16_in = (value_img.dtype == jnp.bfloat16
+                   and dpt_img.dtype == jnp.bfloat16)
         if heads_p > 1:
-            # multi-head stage-2.  The v2 quad-corner backward is ~1.4x
-            # faster everywhere; the faster FORWARD depends on the total
-            # channel width: wide rows (cfull>=256, ScanNet embed_dims=256)
-            # amortize v1's pair-row gathers (155 vs 168 ms at the ScanNet
-            # L2 shape) while narrow rows (cfull=128, the _LARGE configs)
-            # favor v2's 4(c+D)-lane quad gathers (732 vs 1075 ms at the
-            # large L2 shape) — experiments/bench_pallas2.py + /tmp/ab_large
-            # measurements, 2026-08-17.
             if value_img.shape[-1] >= 256:
-                return dfa3d_attention_pallas_mixed(
-                    value_img, dpt_img, sampling_locations, attention_weights,
-                    num_heads,
-                )
-            return dfa3d_attention_pallas_v2(
-                value_img, dpt_img, sampling_locations, attention_weights,
-                num_heads,
-            )
-        # single-head stage-1 (full-C rows): pair-row kernel; the quad
-        # layout's 4x(c+D)-lane rows exceed VMEM at c=256
-        return dfa3d_attention_pallas(
-            value_img, dpt_img, sampling_locations, attention_weights, num_heads
-        )
+                op = (dfa3d_attention_pallas_pq_s2 if bf16_in
+                      else dfa3d_attention_pallas_mixed)
+            else:
+                op = dfa3d_attention_pallas_v2
+            return op(value_img, dpt_img, sampling_locations,
+                      attention_weights, num_heads)
+        # single-head stage-1 (full-C rows): packed-quad when lossless;
+        # v1 pair-row otherwise (the unpacked quad layout's 4x(c+D)-lane
+        # rows exceed VMEM at c=256)
+        op = (dfa3d_attention_pallas_pq_s1 if bf16_in
+              else dfa3d_attention_pallas)
+        return op(value_img, dpt_img, sampling_locations, attention_weights,
+                  num_heads)
     return dfa3d_attention_fast(
         value_img, dpt_img, sampling_locations, attention_weights, num_heads,
         query_chunk,
