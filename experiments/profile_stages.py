@@ -77,30 +77,36 @@ def main(cfg_name="scannet", n_views=40):
     head = ImVoxelHead(n_classes=mcfg.n_classes, n_reg_outs=mcfg.n_reg_outs,
                        n_scales=mcfg.n_scales, head_type=mcfg.head_type)
 
-    f_backbone = jax.jit(lambda im: backbone.apply(sub("backbone"), im, False))
-    x = f_backbone(scene["imgs"])
-    f_fpn = jax.jit(lambda x: fpn.apply(sub("neck"), x))
-    feats = f_fpn(x)
-    f_depth = jax.jit(lambda f0, im, p4: depth.apply(
-        sub("depth_head"), f0, im, p4, False))
-    dpt = f_depth(feats[0], scene["imgs"], scene["proj_feat4"])
+    # params ride as jit ARGUMENTS, not closure constants — embedding them in
+    # the HLO blows past the axon remote-compile request size limit (HTTP 413)
+    f_backbone = jax.jit(lambda p, im: backbone.apply(p, im, False))
+    x = f_backbone(sub("backbone"), scene["imgs"])
+    f_fpn = jax.jit(lambda p, x: fpn.apply(p, x))
+    feats = f_fpn(sub("neck"), x)
+    f_depth = jax.jit(lambda p, f0, im, p4: depth.apply(p, f0, im, p4, False))
+    dpt = f_depth(sub("depth_head"), feats[0], scene["imgs"],
+                  scene["proj_feat4"])
     h4, w4 = dpt.shape[-2:]
     mlvl = [dpt, interpolate_nearest_size(dpt, (h4 // 2, w4 // 2)),
             interpolate_nearest_size(dpt, (h4 // 4, w4 // 4))]
-    f_lift = jax.jit(lambda f, m, o, p: lifting.apply(
-        sub("voxel_head"), f, m, o, p, cfg.data.img_shape, mcfg.dbound, False))
-    vol, valid, occ = f_lift(feats[:3], mlvl, scene["origin"], scene["proj_img"])
-    f_neck = jax.jit(lambda v: neck3d.apply(sub("neck_3d"), v[None], False))
-    nouts = f_neck(vol)
-    f_head = jax.jit(lambda n: head.apply(sub("bbox_head"), n))
+    f_lift = jax.jit(lambda pr, f, m, o, p: lifting.apply(
+        pr, f, m, o, p, cfg.data.img_shape, mcfg.dbound, False))
+    vol, valid, occ = f_lift(sub("voxel_head"), feats[:3], mlvl,
+                             scene["origin"], scene["proj_img"])
+    f_neck = jax.jit(lambda p, v: neck3d.apply(p, v[None], False))
+    nouts = f_neck(sub("neck_3d"), vol)
+    f_head = jax.jit(lambda p, n: head.apply(p, n))
 
     stages = [
-        ("backbone", f_backbone, (scene["imgs"],)),
-        ("fpn", f_fpn, (x,)),
-        ("depth", f_depth, (feats[0], scene["imgs"], scene["proj_feat4"])),
-        ("lifting", f_lift, (feats[:3], mlvl, scene["origin"], scene["proj_img"])),
-        ("neck3d", f_neck, (vol,)),
-        ("head", f_head, (nouts,)),
+        ("backbone", f_backbone, (sub("backbone"), scene["imgs"])),
+        ("fpn", f_fpn, (sub("neck"), x)),
+        ("depth", f_depth,
+         (sub("depth_head"), feats[0], scene["imgs"], scene["proj_feat4"])),
+        ("lifting", f_lift,
+         (sub("voxel_head"), feats[:3], mlvl, scene["origin"],
+          scene["proj_img"])),
+        ("neck3d", f_neck, (sub("neck_3d"), vol)),
+        ("head", f_head, (sub("bbox_head"), nouts)),
     ]
     total = 0.0
     for name, fn, args in stages:
