@@ -1,0 +1,85 @@
+"""On-chip correctness + A/B of the windowed-matmul DFA3D forward
+(dfa3d_pallas4) against the packed-quad copy-loop forward (dfa3d_pallas3).
+
+Correctness: windowed and packed-quad compute identical epilogue math from
+identical bf16 quad values — they must agree to f32 round-off at every
+shape, in BOTH regimes (coherent rows -> windowed path; random rows -> the
+per-chunk copy-loop fallback).  Also checked loosely against the jnp oracle.
+
+Run on the TPU:  python experiments/bench_window.py
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from experiments.bench_kernels import SHAPES, make_case, slope_time
+from sgcdet_tpu.ops.dfa3d_pallas3 import dfa3d_attention_pallas_pq
+from sgcdet_tpu.ops.dfa3d_pallas4 import dfa3d_attention_pallas_w
+from sgcdet_tpu.ops.msda import dfa3d_attention
+
+
+def as_bf16(case):
+    v, dp, locs, attn = case
+    return v.astype(jnp.bfloat16), dp.astype(jnp.bfloat16), locs, attn
+
+
+def check_small():
+    n, h, w, k, heads, c, p, d = 2, 10, 12, 512, 4, 32, 2, 6
+    for coherent in (True, False):
+        case = as_bf16(make_case(n, h, w, k, heads, c, p, d, coherent))
+        v, dp, locs, attn = case
+        ow = jax.jit(lambda *a: dfa3d_attention_pallas_w(*a, heads))(
+            v, dp, locs, attn)
+        opq = jax.jit(lambda *a: dfa3d_attention_pallas_pq(*a, heads))(
+            v, dp, locs, attn)
+        ref, _ = dfa3d_attention(
+            v.reshape(n, h * w, heads, c).astype(jnp.float32),
+            dp.reshape(n, h * w, d).astype(jnp.float32),
+            ((h, w),), locs[:, :, :, None].astype(jnp.float32),
+            attn[:, :, :, None].astype(jnp.float32),
+        )
+        e_pq = float(jnp.abs(ow.astype(jnp.float32)
+                             - opq.astype(jnp.float32)).max())
+        e_ref = float(jnp.abs(ow.astype(jnp.float32) - ref).max())
+        tag = "coh" if coherent else "rnd"
+        print(f"small s2 {tag}: |w - pq| {e_pq:.2e}  |w - oracle| {e_ref:.2e}")
+    # stage-1 single-head
+    n, h, w, k, heads, c, p, d = 2, 10, 12, 512, 1, 128, 1, 6
+    case = as_bf16(make_case(n, h, w, k, heads, c, p, d, True))
+    v, dp, locs, attn = case
+    ow = jax.jit(lambda *a: dfa3d_attention_pallas_w(*a, 1))(v, dp, locs, attn)
+    opq = jax.jit(lambda *a: dfa3d_attention_pallas_pq(*a, 1))(
+        v, dp, locs, attn)
+    e_pq = float(jnp.abs(ow.astype(jnp.float32)
+                         - opq.astype(jnp.float32)).max())
+    print(f"small s1 coh: |w - pq| {e_pq:.2e}")
+
+
+def main():
+    print(f"device: {jax.devices()[0].device_kind}")
+    check_small()
+    for shape_name, (n, h, w, k, heads, c, p, d) in SHAPES.items():
+        for coherent in (True, False):
+            case = as_bf16(make_case(n, h, w, k, heads, c, p, d, coherent))
+            v, dp, locs, attn = case
+            tag = "coh" if coherent else "rnd"
+            for vname, op in (("window", dfa3d_attention_pallas_w),
+                              ("pq", dfa3d_attention_pallas_pq)):
+                @jax.jit
+                def fwd(v, dp, locs, attn, op=op):
+                    return jnp.sum(jnp.abs(
+                        op(v, dp, locs, attn, heads).astype(jnp.float32)))
+                try:
+                    t = slope_time(fwd, (v, dp, locs, attn))
+                except Exception as e:  # noqa: BLE001
+                    print(f"{shape_name} {tag} {vname:7s} FAILED: "
+                          f"{type(e).__name__}: {str(e)[:160]}")
+                    continue
+                print(f"{shape_name} {tag} {vname:7s} fwd {t*1e3:8.1f} ms")
+                sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()
