@@ -100,6 +100,10 @@ class ModelConfig:
     # Exact vs the dense path when ceil(frac*K) >= max visible voxels per
     # camera (see DeformCrossAttention.visibility_budget).
     visibility_budget: float | None = None
+    # order compacted per-camera queries by projected image row (an exact
+    # permutation) so the DFA3D kernels' gathers are chunk-coherent; off by
+    # default — only the experimental windowed kernels benefit
+    sort_queries: bool = False
     # 3D neck
     neck3d_out_channels: int = 128
     neck3d_n_blocks: Tuple[int, ...] = (1, 1, 1)

@@ -80,6 +80,7 @@ class SGCDet(nn.Module):
             ffn_dropout=cfg.ffn_dropout,
             query_chunk=self.query_chunk,
             visibility_budget=cfg.visibility_budget,
+            sort_queries=cfg.sort_queries,
             name="voxel_head",
         )(feats[:3], mlvl_dpt, origin, proj_img, self.img_shape, cfg.dbound, train)
 

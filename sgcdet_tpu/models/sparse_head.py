@@ -36,6 +36,7 @@ class AdaptiveSparseVolume(nn.Module):
     ffn_dropout: float = 0.1
     query_chunk: int | None = 100
     visibility_budget: float | None = None
+    sort_queries: bool = False
 
     @nn.compact
     def __call__(self, mlvl_feats, mlvl_dpt_dists, origin, projection, img_shape, dbound, train=False):
@@ -72,6 +73,7 @@ class AdaptiveSparseVolume(nn.Module):
                 ffn_dropout=self.ffn_dropout,
                 query_chunk=self.query_chunk,
                 visibility_budget=self.visibility_budget,
+                sort_queries=self.sort_queries,
                 name=f"base_head{i}",
             )
 

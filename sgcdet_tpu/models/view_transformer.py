@@ -246,6 +246,15 @@ class DeformCrossAttention(nn.Module):
     query_chunk: int | None = 100
     use_depth: bool = True  # False -> the reference's non-DFA3D 2D path
     visibility_budget: float | None = None  # fraction of K kept per camera
+    # Order the compacted per-camera queries by their projected image row
+    # (an exact permutation: per-query compute is order-independent and the
+    # fusion reads scattered-back slots).  Makes the DFA3D kernels' row
+    # gathers chunk-coherent for the windowed-matmul kernels
+    # (ops/dfa3d_pallas4/5.py).  Off by default: the permutation costs
+    # ~14 ms at the 40-view ScanNet shape (lax.top_k) and no dispatched
+    # kernel currently beats the copy-loop gather from coherence alone
+    # (see docs/roadmap.md round-3 notes).
+    sort_queries: bool = False
 
     @nn.compact
     def __call__(
@@ -263,14 +272,28 @@ class DeformCrossAttention(nn.Module):
         inp_residual = query
 
         if self.visibility_budget is None:
-            budget = None
+            budget = k if self.sort_queries else None
         else:
             budget = min(k, max(128, -(-int(k * self.visibility_budget) // 128) * 128))
         compact = (
-            self.use_depth and budget is not None and 0 < budget < k
+            self.use_depth and budget is not None
+            and ((0 < budget < k) or (self.sort_queries and budget == k))
         )
         if compact:
             scores = mask.astype(jnp.float32)
+            if self.sort_queries:
+                # fold the predicted quad-row id of the projection center
+                # into the score: visible first (scores > 1), row-ascending
+                # within visible.  Exactness of the budget is unchanged —
+                # every visible query still outranks every invisible one.
+                h0, w0 = spatial_shapes[0]
+                u_pix = jnp.clip(
+                    jnp.floor(ref_cam[..., 0] * w0 - 0.5), -1.0, w0 - 1.0) + 1.0
+                v_pix = jnp.clip(
+                    jnp.floor(ref_cam[..., 1] * h0 - 0.5), -1.0, h0 - 1.0) + 1.0
+                row_norm = (v_pix * (w0 + 1) + u_pix) / float(
+                    (h0 + 1) * (w0 + 1) + 1)
+                scores = scores * 2.0 - row_norm.astype(jnp.float32)
             _, sel_idx = jax.lax.top_k(scores, budget)  # (N, B) visible first
             ref_cam_s = jnp.take_along_axis(ref_cam, sel_idx[..., None], axis=1)
             # selected-set mask; fusion masks with (visible AND selected)
@@ -368,6 +391,7 @@ class VoxFormerLayer(nn.Module):
     query_chunk: int | None = 100
     use_depth: bool = True
     visibility_budget: float | None = None
+    sort_queries: bool = False
 
     @nn.compact
     def __call__(self, query, value, dpt_dist, ref_cam, mask, spatial_shapes, train=False):
@@ -380,6 +404,7 @@ class VoxFormerLayer(nn.Module):
             query_chunk=self.query_chunk,
             use_depth=self.use_depth,
             visibility_budget=self.visibility_budget,
+            sort_queries=self.sort_queries,
             name="cross_attn",
         )(query, value, dpt_dist, ref_cam, mask, spatial_shapes, train)
         query = LayerNorm(name="norm1")(query)
@@ -403,6 +428,7 @@ class ViewTransformer(nn.Module):
     query_chunk: int | None = 100
     use_depth: bool = True
     visibility_budget: float | None = None
+    sort_queries: bool = False
 
     @nn.compact
     def __call__(self, ref_points, origin, projection, feats, dpt_dists, img_shape, dbound, train=False):
@@ -428,6 +454,7 @@ class ViewTransformer(nn.Module):
                 query_chunk=self.query_chunk,
                 use_depth=self.use_depth,
                 visibility_budget=self.visibility_budget,
+                sort_queries=self.sort_queries,
                 name=f"layer{i}",
             )(query, value_img, dpt_img, ref_cam, mask, spatial_shapes, train)
         return query

@@ -307,20 +307,25 @@ def _pick_qb_v2(k, p, target=12288, bwd=False):
     count must divide by 8).  `target` caps samples per grid step: large
     blocks amortize the ~15 us/grid-step pipeline overhead, but the p
     (qb, 4*(c+D)) f32 scratch buffers + double-buffered operands must fit
-    the ~128 MB of VMEM.  Prefers a qb that divides K (no padding); falls
-    back to a padded K when the only divisors are tiny."""
+    the ~128 MB of VMEM.  Picks the candidate minimizing padded samples
+    first (padding is pure wasted gather work — the old prefer-divisors
+    rule left ScanNet's K=6400 at qb=3072 with kpad=9216, 44% padding),
+    then the largest block among ties."""
     step = 128
     while (p * step) % 1024 != 0:
         step += 128
     budget = target // 2 if bwd else target
     max_qb = max(step, (budget // p) // step * step)
     max_qb = min(max_qb, _round_up(k, step))
-    for cand in range(max_qb, step - 1, -step):
-        if k % cand == 0:
-            if cand * 2 >= max_qb:
-                return cand
-            break
-    return max_qb
+    best = None
+    for cand in range(step, max_qb + 1, step):
+        kpad = _round_up(k, cand)
+        # small blocks pay ~15 us/grid-step: fold that in as an equivalent
+        # sample cost (~1920 samples at the measured ~128 M rows/s)
+        cost = kpad * p + (kpad // cand) * 1920
+        if best is None or cost < best[0]:
+            best = (cost, cand)
+    return best[1]
 
 
 def _run_fwd_v2(quad, rows, winfo, heads, c, p, qb, d_size):
@@ -449,20 +454,28 @@ def _fwd_impl_v2(value_img, dpt_img, sampling_locations, attention_weights,
 
 
 def _fwd_cams_v2(value_img, dpt_img, sampling_locations, attention_weights,
-                 num_heads):
+                 num_heads, runner=None, pick_qb=None):
+    """runner(value_img, dpt_img, heads, rows, winfo, c, p, qb, d_size, h, w)
+    -> (nh*nblk*qb, c) f32 replaces the default quad-build + _run_fwd_v2
+    (used by the windowed kernels, dfa3d_pallas4/5); pick_qb(k, p) overrides
+    the query-block sizing for runners with different constraints."""
     n, h, w, cfull = value_img.shape
     d_size = dpt_img.shape[-1]
     k = sampling_locations.shape[1]
     p = sampling_locations.shape[3]
     heads = num_heads
     c = cfull // heads
-    qb = _pick_qb_v2(k, p)
+    qb = (pick_qb or _pick_qb_v2)(k, p)
 
-    quad = _build_quad_image(value_img, dpt_img, heads)
     rows, winfo, _, kpad = _sample_quantities_v2(
         sampling_locations, attention_weights, h, w, d_size, qb
     )
-    out = _run_fwd_v2(quad, rows, winfo, heads, c, p, qb, d_size)
+    if runner is None:
+        quad = _build_quad_image(value_img, dpt_img, heads)
+        out = _run_fwd_v2(quad, rows, winfo, heads, c, p, qb, d_size)
+    else:
+        out = runner(value_img, dpt_img, heads, rows, winfo, c, p, qb,
+                     d_size, h, w)
     out = out.reshape(n, heads, kpad, c)[:, :, :k]
     out = jnp.moveaxis(out, 1, 2).reshape(n, k, heads * c)
     return out.astype(value_img.dtype)
@@ -499,16 +512,21 @@ def _vjp_bwd_v2(num_heads, res, g):
 
 
 def _bwd_cams_v2(value_img, dpt_img, sampling_locations, attention_weights, g,
-                 num_heads):
+                 num_heads, runner=None, pick_qb=None, direct_grads=False):
+    """runner(value_img, dpt_img, heads, rows, winfo, g_flat, c, p, qb,
+    d_size, h, w) -> (dquad (nh, rq, width), dw4_flat, ddvec_flat) replaces
+    the default quad-build + _run_bwd_v2 (windowed kernel, dfa3d_pallas4).
+    With direct_grads=True the runner instead returns
+    (d_value (N, H, W, cfull), d_dpt (N, H, W, D), dw4_flat, ddvec_flat)
+    and the un-quad step is skipped (dfa3d_pallas5)."""
     n, h, w, cfull = value_img.shape
     d_size = dpt_img.shape[-1]
     k = sampling_locations.shape[1]
     p = sampling_locations.shape[3]
     heads = num_heads
     c = cfull // heads
-    qb = _pick_qb_v2(k, p, bwd=True)
+    qb = (pick_qb or (lambda kk, pp: _pick_qb_v2(kk, pp, bwd=True)))(k, p)
 
-    quad = _build_quad_image(value_img, dpt_img, heads)
     rows, winfo, resid, kpad = _sample_quantities_v2(
         sampling_locations, attention_weights, h, w, d_size, qb
     )
@@ -521,28 +539,39 @@ def _bwd_cams_v2(value_img, dpt_img, sampling_locations, attention_weights, g,
     g_b = jnp.moveaxis(g.reshape(n, kpad, heads, c), 2, 1)  # (N, heads, Kpad, c)
     g_flat = g_b.reshape(-1, c)
 
-    dquad, dw4_flat, ddvec_flat = _run_bwd_v2(
-        quad, rows, winfo, g_flat, heads, c, p, qb, d_size
-    )
+    if runner is None:
+        quad = _build_quad_image(value_img, dpt_img, heads)
+        dquad, dw4_flat, ddvec_flat = _run_bwd_v2(
+            quad, rows, winfo, g_flat, heads, c, p, qb, d_size
+        )
+    else:
+        dquad, dw4_flat, ddvec_flat = runner(
+            value_img, dpt_img, heads, rows, winfo, g_flat, c, p, qb,
+            d_size, h, w
+        )
 
-    # un-quad: pixel (y, x) sums its four corner slots from neighboring rows
-    rq = (h + 1) * (w + 1)
-    dquad = dquad[:, :rq].reshape(n, heads, h + 1, w + 1, 4 * (c + d_size))
-    cA, cB, cC, cD = (dquad[..., i * c:(i + 1) * c] for i in range(4))
-    d_off = 4 * c
-    dA, dB, dC, dD = (
-        dquad[..., d_off + i * d_size: d_off + (i + 1) * d_size]
-        for i in range(4)
-    )
-    d_value = (
-        cA[:, :, 1:, 1:] + cB[:, :, 1:, :-1] + cC[:, :, :-1, 1:]
-        + cD[:, :, :-1, :-1]
-    )  # (N, heads, H, W, c)
-    d_value = jnp.moveaxis(d_value, 1, 3).reshape(n, h, w, cfull)
-    d_dpt = (
-        dA[:, :, 1:, 1:] + dB[:, :, 1:, :-1] + dC[:, :, :-1, 1:]
-        + dD[:, :, :-1, :-1]
-    ).sum(axis=1)  # depth dist shared across heads
+    if direct_grads:
+        d_value, d_dpt = dquad
+    else:
+        # un-quad: pixel (y, x) sums its four corner slots from neighbors
+        rq = (h + 1) * (w + 1)
+        dquad = dquad[:, :rq].reshape(n, heads, h + 1, w + 1,
+                                      4 * (c + d_size))
+        cA, cB, cC, cD = (dquad[..., i * c:(i + 1) * c] for i in range(4))
+        d_off = 4 * c
+        dA, dB, dC, dD = (
+            dquad[..., d_off + i * d_size: d_off + (i + 1) * d_size]
+            for i in range(4)
+        )
+        d_value = (
+            cA[:, :, 1:, 1:] + cB[:, :, 1:, :-1] + cC[:, :, :-1, 1:]
+            + cD[:, :, :-1, :-1]
+        )  # (N, heads, H, W, c)
+        d_value = jnp.moveaxis(d_value, 1, 3).reshape(n, h, w, cfull)
+        d_dpt = (
+            dA[:, :, 1:, 1:] + dB[:, :, 1:, :-1] + dC[:, :, :-1, 1:]
+            + dD[:, :, :-1, :-1]
+        ).sum(axis=1)  # depth dist shared across heads
 
     # de-blockify sample grads to (N, heads, Kpad, P, lanes)
     nblk = kpad // qb

@@ -328,3 +328,376 @@ def dfa3d_attention_pallas_w(value_img, dpt_img, sampling_locations,
     out, _ = _fwd_impl_w(value_img, dpt_img, sampling_locations,
                          attention_weights, num_heads)
     return out
+
+
+# ===========================================================================
+# Per-head windowed kernel ("wh"): narrow 4*(c+D)-lane rows, bulk epilogue
+# ===========================================================================
+#
+# The full-width variant above loses to the copy loop because the one-hot
+# dot's FLOPs scale with row width x window size (measured ~31% MXU at
+# (256, 512)x(512, 1072) -> 150 ms just for the dots at the ScanNet L2
+# stage-2 shape).  The v2 per-(camera, head) quad layout cuts the row width
+# 6x (176 lanes for c=32, D=12), and reusing v2's point-major block order
+# keeps chunks query-consecutive (coherent after the model's row-sort).
+# Structure per (cam*head, block): chunk loop fills a (P*qb, width) scratch
+# (windowed dot per chunk; packed copy-loop fallback for oversized chunks),
+# then v2's bulk epilogue runs unchanged.  The backward mirrors it and
+# replaces the scatter loop with dimg[window] += S^T @ U per chunk.
+
+from .dfa3d_pallas2 import (  # noqa: E402  (grouped with their use site)
+    _bwd_cams_v2,
+    _build_quad_image as _build_quad_image_v2,
+    _fwd_cams_v2,
+    _point_contrib,
+)
+from .dfa3d_pallas3 import _pack2, _unpack_hi, _unpack_lo  # noqa: E402
+
+
+def _build_quad_bf16_heads(value_img, dpt_img, heads):
+    """(N, H, W, heads*c) + (N, H, W, D) -> (N*heads, Rq, 4*(c+D)) bf16."""
+    return _build_quad_image_v2(
+        value_img, dpt_img, heads).astype(jnp.bfloat16)
+
+
+def _build_quad_packed_heads_exact(value_img, dpt_img, heads):
+    """Fallback copy-loop operand: the per-head quad row bf16-packed into
+    half as many f32 words — word i packs quad lane i (hi16) with quad lane
+    i + width/2 (lo16), so unpack-hi/lo + concat restores the exact quad
+    lane order ([vA|vB|vC|vD|dA|dB|dC|dD]) with the same bf16 values the
+    windowed dot reads."""
+    quad = _build_quad_image_v2(value_img, dpt_img, heads)
+    half = quad.shape[-1] // 2
+    return _pack2(quad[..., :half], quad[..., half:])
+
+
+def _unpack_quad_exact(pk):
+    return jnp.concatenate([_unpack_hi(pk), _unpack_lo(pk)], axis=1)
+
+
+def _gather_chunk_rows(rows_ref, img_ref, psc, ci, cm):
+    """Copy-loop fallback over one chunk: row ci*cm+i -> psc[i]."""
+    seg = cm // 128
+
+    def outer(j, _):
+        def inner(l, _):
+            i = j * 128 + l * 8
+            for t in range(8):
+                psc[pl.ds(i + t, 1), :] = img_ref[
+                    pl.ds(rows_ref[ci * seg + j, l * 8 + t], 1), :]
+            return 0
+
+        jax.lax.fori_loop(0, 16, inner, 0, unroll=False)
+        return 0
+
+    jax.lax.fori_loop(0, seg, outer, 0, unroll=False)
+
+
+def _fill_rows_wh(meta_ref, rows_ref, rel_ref, img_ref, pimg_ref, sc, psc,
+                  nchunk, cm, wwin):
+    """Fill sc (m, width) with the gathered quad rows of every chunk."""
+    def body(ci, _):
+        off = ci * cm
+
+        @pl.when(meta_ref[0, ci, 1] == 1)
+        def _():
+            rowsm, _ = _window_rows(meta_ref, rel_ref, img_ref, off, ci, cm,
+                                    wwin)
+            sc[pl.ds(off, cm), :] = rowsm
+
+        @pl.when(meta_ref[0, ci, 1] == 0)
+        def _():
+            _gather_chunk_rows(rows_ref, pimg_ref, psc, ci, cm)
+            sc[pl.ds(off, cm), :] = _unpack_quad_exact(psc[:])
+
+        return 0
+
+    jax.lax.fori_loop(0, nchunk, body, 0, unroll=False)
+
+
+def _fwd_kernel_wh(meta_ref, rows_ref, rel_ref, winfo_ref, img_ref, pimg_ref,
+                   out_ref, sc, psc, *, c, p, qb, d_size, wwin, cm):
+    m = p * qb
+    _fill_rows_wh(meta_ref, rows_ref, rel_ref, img_ref, pimg_ref, sc, psc,
+                  m // cm, cm, wwin)
+    acc = None
+    for j in range(p):
+        winfo = winfo_ref[j * qb:(j + 1) * qb, :]
+        contrib, _, _, _ = _point_contrib(sc[j * qb:(j + 1) * qb, :], winfo,
+                                          c, d_size, qb)
+        acc = contrib if acc is None else acc + contrib
+    out_ref[:] = acc
+
+
+def _bwd_kernel_wh(meta_ref, rows_ref, rel_ref, winfo_ref, g_ref, img_ref,
+                   pimg_ref, dimg_ref, dw4_ref, ddvec_ref, sc, usc, psc, *,
+                   c, p, qb, d_size, wwin, cm):
+    m = p * qb
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dimg_ref[:] = jnp.zeros_like(dimg_ref)
+
+    _fill_rows_wh(meta_ref, rows_ref, rel_ref, img_ref, pimg_ref, sc, psc,
+                  m // cm, cm, wwin)
+    g = g_ref[:]  # (qb, c)
+    for j in range(p):
+        s = sc[j * qb:(j + 1) * qb, :]
+        winfo = winfo_ref[j * qb:(j + 1) * qb, :]
+        _, dvec, ds_list, vals = _point_contrib(s, winfo, c, d_size, qb)
+        t_list = [jnp.sum(v * g, axis=1, keepdims=True) for v in vals]
+        dw4_ref[j * qb:(j + 1) * qb, :] = jnp.concatenate(
+            [ds_list[i] * t_list[i] for i in range(4)], axis=1
+        )
+        ddvec = None
+        for i in range(4):
+            dj = s[:, 4 * c + i * d_size: 4 * c + (i + 1) * d_size]
+            term = (winfo[:, i:i + 1] * t_list[i]) * dj
+            ddvec = term if ddvec is None else ddvec + term
+        ddvec_ref[j * qb:(j + 1) * qb, :] = ddvec
+        usc[pl.ds(j * qb, qb), :] = jnp.concatenate(
+            [(winfo[:, i:i + 1] * ds_list[i]) * g for i in range(4)]
+            + [(winfo[:, i:i + 1] * t_list[i]) * dvec for i in range(4)],
+            axis=1,
+        )
+
+    def body(ci, _):
+        off = ci * cm
+
+        @pl.when(meta_ref[0, ci, 1] == 1)
+        def _():
+            base = meta_ref[0, ci, 0]
+            rel = rel_ref[0, pl.ds(off, cm), :]
+            iota = jax.lax.broadcasted_iota(jnp.int32, (cm, wwin), 1)
+            st = (iota == rel).astype(jnp.float32)
+            win = pl.ds(pl.multiple_of(base, 8), wwin)
+            dimg_ref[win, :] += jnp.dot(
+                st.T, usc[pl.ds(off, cm), :],
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+
+        @pl.when(meta_ref[0, ci, 1] == 0)
+        def _():
+            _scatter_chunk_rows_off(rows_ref, dimg_ref, usc, ci, cm)
+
+        return 0
+
+    jax.lax.fori_loop(0, m // cm, body, 0, unroll=False)
+
+
+def _scatter_chunk_rows_off(rows_ref, dimg_ref, usc, ci, cm):
+    """Copy-loop fallback scatter: usc row ci*cm+i += into dimg row."""
+    seg = cm // 128
+
+    def outer(j, _):
+        def inner(l, _):
+            i = ci * cm + j * 128 + l * 8
+            for t in range(8):
+                dimg_ref[pl.ds(rows_ref[ci * seg + j, l * 8 + t], 1), :] += \
+                    usc[pl.ds(i + t, 1), :]
+            return 0
+
+        jax.lax.fori_loop(0, 16, inner, 0, unroll=False)
+        return 0
+
+    jax.lax.fori_loop(0, seg, outer, 0, unroll=False)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+
+def _wh_geometry(h, w, qb, p):
+    hwq = -(-((h + 1) * (w + 1)) // 8) * 8
+    wwin = min(_WWIN, hwq)
+    m = p * qb
+    cm = _CM if m % _CM == 0 else 128
+    return hwq, wwin, m, cm
+
+
+def _run_fwd_wh(value_img, dpt_img, heads, rows, winfo, c, p, qb, d_size,
+                h, w):
+    nh, nblk, m = rows.shape
+    width = 4 * (c + d_size)
+    hwq, wwin, m_, cm = _wh_geometry(h, w, qb, p)
+    assert m_ == m
+    quad_b = _build_quad_bf16_heads(value_img, dpt_img, heads)
+    packed = _build_quad_packed_heads_exact(value_img, dpt_img, heads)
+    meta, rel = _chunk_meta(rows, hwq, wwin, cm)
+    nchunk = m // cm
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_wh, c=c, p=p, qb=qb, d_size=d_size,
+                          wwin=wwin, cm=cm),
+        grid=(nh, nblk),
+        out_shape=jax.ShapeDtypeStruct((nh * nblk * qb, c), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((1, nchunk, 2), lambda ci, bi: (ci * nblk + bi, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((m // 128, 128), lambda ci, bi: (ci * nblk + bi, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, m, 1), lambda ci, bi: (ci * nblk + bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, 8), lambda ci, bi: (ci * nblk + bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hwq, width), lambda ci, bi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hwq, width // 2), lambda ci, bi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((qb, c), lambda ci, bi: (ci * nblk + bi, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((m, width), jnp.float32),        # gathered rows
+            pltpu.VMEM((cm, width // 2), jnp.float32),  # fallback packed
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=118 * 1024 * 1024,
+        ),
+    )(
+        meta,
+        rows.reshape(-1, 128),
+        rel,
+        winfo.reshape(nh * nblk * m, 8),
+        quad_b.reshape(nh * hwq, width),
+        packed.reshape(nh * hwq, width // 2),
+    )
+
+
+def _run_bwd_wh(value_img, dpt_img, heads, rows, winfo, g_flat, c, p, qb,
+                d_size, h, w):
+    nh, nblk, m = rows.shape
+    width = 4 * (c + d_size)
+    hwq, wwin, m_, cm = _wh_geometry(h, w, qb, p)
+    assert m_ == m
+    quad_b = _build_quad_bf16_heads(value_img, dpt_img, heads)
+    packed = _build_quad_packed_heads_exact(value_img, dpt_img, heads)
+    meta, rel = _chunk_meta(rows, hwq, wwin, cm)
+    nchunk = m // cm
+    dquad, dw4, ddvec = pl.pallas_call(
+        functools.partial(_bwd_kernel_wh, c=c, p=p, qb=qb, d_size=d_size,
+                          wwin=wwin, cm=cm),
+        grid=(nh, nblk),
+        out_shape=(
+            jax.ShapeDtypeStruct((nh * hwq, width), jnp.float32),
+            jax.ShapeDtypeStruct((nh * nblk * m, 4), jnp.float32),
+            jax.ShapeDtypeStruct((nh * nblk * m, d_size), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec((1, nchunk, 2), lambda ci, bi: (ci * nblk + bi, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((m // 128, 128), lambda ci, bi: (ci * nblk + bi, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, m, 1), lambda ci, bi: (ci * nblk + bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, 8), lambda ci, bi: (ci * nblk + bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qb, c), lambda ci, bi: (ci * nblk + bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hwq, width), lambda ci, bi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hwq, width // 2), lambda ci, bi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((hwq, width), lambda ci, bi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, 4), lambda ci, bi: (ci * nblk + bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, d_size), lambda ci, bi: (ci * nblk + bi, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((m, width), jnp.float32),        # gathered rows
+            pltpu.VMEM((m, width), jnp.float32),        # update rows
+            pltpu.VMEM((cm, width // 2), jnp.float32),  # fallback packed
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+    )(
+        meta,
+        rows.reshape(-1, 128),
+        rel,
+        winfo.reshape(nh * nblk * m, 8),
+        g_flat,
+        quad_b.reshape(nh * hwq, width),
+        packed.reshape(nh * hwq, width // 2),
+    )
+    return dquad.reshape(nh, hwq, width), dw4, ddvec
+
+
+# ---------------------------------------------------------------------------
+# public op with custom VJP (multi-head path; heads*P > 1, bf16 inputs)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def dfa3d_attention_pallas_wh(value_img, dpt_img, sampling_locations,
+                              attention_weights, num_heads):
+    """Fused depth-weighted deformable attention, per-head windowed-matmul
+    kernel.  Exact for bf16 value/depth inputs (the production compute
+    dtype); shapes as ``dfa3d_attention_pallas_v2``."""
+    out, _ = _fwd_impl_wh(value_img, dpt_img, sampling_locations,
+                          attention_weights, num_heads)
+    return out
+
+
+def _fwd_impl_wh(value_img, dpt_img, sampling_locations, attention_weights,
+                 num_heads):
+    n, k = sampling_locations.shape[:2]
+    hp = sampling_locations.shape[2] * sampling_locations.shape[3]
+    chunk = _pick_cam_chunk(n, k * hp)
+    if chunk == n:
+        out = _fwd_cams_v2(value_img, dpt_img, sampling_locations,
+                           attention_weights, num_heads, runner=_run_fwd_wh)
+    else:
+        groups = n // chunk
+
+        def body(args):
+            return _fwd_cams_v2(*args, num_heads, runner=_run_fwd_wh)
+
+        out = jax.lax.map(
+            body,
+            tuple(
+                x.reshape((groups, chunk) + x.shape[1:])
+                for x in (value_img, dpt_img, sampling_locations,
+                          attention_weights)
+            ),
+        )
+        out = out.reshape((n,) + out.shape[2:])
+    return out, (value_img, dpt_img, sampling_locations, attention_weights)
+
+
+def _vjp_fwd_wh(value_img, dpt_img, sampling_locations, attention_weights,
+                num_heads):
+    return _fwd_impl_wh(value_img, dpt_img, sampling_locations,
+                        attention_weights, num_heads)
+
+
+def _vjp_bwd_wh(num_heads, res, g):
+    value_img, dpt_img, sampling_locations, attention_weights = res
+    n, k = sampling_locations.shape[:2]
+    hp = sampling_locations.shape[2] * sampling_locations.shape[3]
+    chunk = _pick_cam_chunk(n, k * hp)
+    if chunk == n:
+        return _bwd_cams_v2(value_img, dpt_img, sampling_locations,
+                            attention_weights, g, num_heads,
+                            runner=_run_bwd_wh)
+    groups = n // chunk
+
+    def body(args):
+        return _bwd_cams_v2(*args[:4], args[4], num_heads, runner=_run_bwd_wh)
+
+    grads = jax.lax.map(
+        body,
+        tuple(
+            x.reshape((groups, chunk) + x.shape[1:])
+            for x in (value_img, dpt_img, sampling_locations,
+                      attention_weights, g)
+        ),
+    )
+    return tuple(x.reshape((n,) + x.shape[2:]) for x in grads)
+
+
+dfa3d_attention_pallas_wh.defvjp(_vjp_fwd_wh, _vjp_bwd_wh)

@@ -1,0 +1,540 @@
+"""Windowed-SPMM DFA3D Pallas kernel ("ws"): no gather loops at all.
+
+Same semantics as ``dfa3d_pallas`` (jnp oracle ``msda.dfa3d_attention``;
+reference CUDA kernels /root/reference/packages/3D-deformable-attention/
+DFA3D/dfa3D/ops/csrc/common/cuda/wms_deform_attn_cuda_kernel.cuh:24-159).
+
+The output of one query is a weighted sum of image rows — a sparse-matrix @
+dense-image product whose per-row weights are attn * bilinear * depth-score.
+For a chunk of ``qc`` spatially-sorted queries all corner rows fall inside a
+``wwin``-row window of the RAW (H*W-flattened) image, so the whole chunk is
+
+    out_chunk (qc, c) = S_w (qc, wwin) @ window (wwin, c)
+
+with S_w built by VPU compares from the per-sample corner rows and weights:
+S_w[q, r] = sum_{p, corner} w_eff * [r == rowD - off_corner - base].  The
+depth scores inside w_eff come from one small matmul per point,
+``G_d = dvec (qc, D) @ window_dpt^T (D, wwin)`` masked by the same compares.
+Rows are addressed by the always-in-range bottom-right corner
+``rowD = clip(y0+1, 0, H) * W + clip(x0+1, 0, W)``; the other corners are
+static lane offsets {W+1, W, 1, 0} below it, and every out-of-image corner
+carries zero bilinear weight, so garbage window reads never contribute.
+
+Chunks whose live corner rows exceed the window (the per-chunk ``ok`` flag,
+precomputed on host with dead samples excluded) take an EXACT fallback: the
+same two passes loop over static wwin-sized segments tiling the whole
+image — each corner row matches in exactly one segment.  No copy loops
+anywhere; the kernel is pure MXU/VPU.
+
+The backward mirrors the forward: t_j = <value_row_j, g_q> via
+``G_v = g_chunk @ window_v^T`` masked reductions; dw4 = ds * t;
+ddvec = S_wt @ window_dpt; d_value window += S_w^T @ g_chunk and
+d_dpt window += S_wt_p^T @ dvec_p (f32 HIGHEST — exact for selection).
+The location/attention chain runs outside (shared with dfa3d_pallas2).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .dfa3d_pallas import _pick_cam_chunk, _round_up
+from .dfa3d_pallas2 import (
+    _bwd_cams_v2,
+    _dvec,
+    _fwd_cams_v2,
+)
+
+_WWIN = 512
+_QC = 64  # queries per chunk
+
+
+def _pick_qb_ws(k, p, m_target=8192):
+    """Query block: multiple of _QC, kpad minimal, samples/block bounded."""
+    qb_max = max(_QC, (m_target // p) // _QC * _QC)
+    best = None
+    for cand in range(_QC, qb_max + 1, _QC):
+        kpad = -(-k // cand) * cand
+        nblk = kpad // cand
+        key = (kpad, nblk)  # least padding, then fewest (= largest) blocks
+        if best is None or key < best[0]:
+            best = (key, cand)
+    return best[1]
+
+
+def _ws_geometry(h, w, qb, p):
+    r8 = _round_up(h * w + w + 1, 8)
+    wwin = min(_WWIN, r8)
+    qc = _QC
+    return r8, wwin, qc, p * qc
+
+
+# ---------------------------------------------------------------------------
+# host-side prep
+# ---------------------------------------------------------------------------
+
+
+def _ws_prep(rows_v2, winfo_v2, h, w, qb, p, r8, wwin, qc):
+    """v2 block-point-major samples -> chunk-point-major, raw corner rows.
+
+    rows_v2 (nh, nblk, p*qb) quad-row ids from _sample_quantities_v2;
+    winfo_v2 (nh, nblk, p*qb, 8).
+    Returns winfo9 (nh*nblk*m, 9) f32 — [w4(4), wd0, wd1, d0c, d1c, rowD]
+    with the bottom-right corner raw row folded in as an exact f32 lane
+    (row ids < 2^24; avoids a lane-padded (m, 1) i32 operand) — and
+    meta (nh*nblk, nchunk, 2) i32 [base, ok].
+    """
+    nh, nblk, m = rows_v2.shape
+    nchunk = qb // qc
+    cm = p * qc
+    wq = w + 1
+    yq = rows_v2 // wq
+    xq = rows_v2 % wq
+    rowd = yq * w + xq  # (nh, nblk, m) in [0, h*w + w]
+
+    def to_ws(x):
+        shp = (nh, nblk, p, nchunk, qc) + x.shape[3:]
+        x = x.reshape(shp)
+        x = jnp.moveaxis(x, 2, 3)  # (nh, nblk, nchunk, p, qc, ...)
+        return x.reshape((nh, nblk, m) + x.shape[5:])
+
+    rowd = to_ws(rowd)
+    winfo = to_ws(winfo_v2)
+    live = jnp.sum(winfo[..., :4], axis=-1) > 0.0
+
+    ch = rowd.reshape(nh * nblk, nchunk, cm)
+    lv = live.reshape(nh * nblk, nchunk, cm)
+    big = jnp.int32(1 << 30)
+    lo = jnp.min(jnp.where(lv, ch, big), axis=-1)
+    hi = jnp.max(jnp.where(lv, ch, -1), axis=-1)
+    # window must also cover rowD - (W+1) of the smallest live sample
+    base = jnp.clip((lo - (w + 1)) & ~7, 0, max(r8 - wwin, 0))
+    base = jnp.where(lo == big, 0, base)
+    ok = ((hi - base) < wwin).astype(jnp.int32)
+    meta = jnp.stack([base, ok], axis=-1)
+    winfo9 = jnp.concatenate(
+        [winfo, rowd.astype(jnp.float32)[..., None]], axis=-1)
+    return winfo9.reshape(nh * nblk * m, 9), meta
+
+
+def _from_ws(x, nh, nblk, p, nchunk, qc):
+    """Inverse sample-order transform for per-sample kernel outputs."""
+    lanes = x.shape[-1]
+    x = x.reshape(nh, nblk, nchunk, p, qc, lanes)
+    x = jnp.moveaxis(x, 3, 2)  # (nh, nblk, p, nchunk, qc, lanes)
+    return x.reshape(nh * nblk * p * nchunk * qc, lanes)
+
+
+def _build_img_ws(value_img, dpt_img, heads, r8):
+    """(N, H, W, heads*c)+(N, H, W, D) -> (N*heads, R8, c+D) bf16 raw rows;
+    the D depth lanes ride along so one window serves values and scores."""
+    n, h, w, cfull = value_img.shape
+    c = cfull // heads
+    d = dpt_img.shape[-1]
+    v = value_img.astype(jnp.bfloat16).reshape(n, h * w, heads, c)
+    v = jnp.moveaxis(v, 2, 1)  # (N, heads, HW, c)
+    dp = jnp.broadcast_to(
+        dpt_img.astype(jnp.bfloat16).reshape(n, 1, h * w, d),
+        (n, heads, h * w, d))
+    img = jnp.concatenate([v, dp], axis=-1).reshape(n * heads, h * w, c + d)
+    return jnp.pad(img, ((0, 0), (0, r8 - h * w), (0, 0)))
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+
+def _ws_masks_ds(winfo, img_ref, base, *, c, p, qc, d_size,
+                 wwin, w, ds_sc):
+    """Accumulate per-corner depth scores for one chunk at one window."""
+    win_d = img_ref[pl.ds(pl.multiple_of(base, 8), wwin), c:].astype(
+        jnp.float32)  # (wwin, D)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (qc, wwin), 1)
+    for pp in range(p):
+        off = pp * qc
+        wslice = winfo[off:off + qc, :]
+        dvec_p = _dvec(wslice, qc, d_size)  # (qc, D)
+        gd = jax.lax.dot_general(
+            dvec_p, win_d, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # (qc, wwin)
+        rel = wslice[:, 8:9].astype(jnp.int32) - base  # (qc, 1)
+        for j, coff in enumerate((w + 1, w, 1, 0)):  # A, B, C, D
+            mask = iota == (rel - coff)
+            ds_sc[pl.ds(off, qc), j:j + 1] += jnp.sum(
+                jnp.where(mask, gd, 0.0), axis=1, keepdims=True)
+
+
+def _ws_swmap(winfo, weff, base, *, p, qc, wwin, w):
+    """The chunk's weighted selection matrix S_w (qc, wwin) at one window."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (qc, wwin), 1)
+    acc = jnp.zeros((qc, wwin), jnp.float32)
+    for pp in range(p):
+        off = pp * qc
+        rel = winfo[off:off + qc, 8:9].astype(jnp.int32) - base
+        we = weff[off:off + qc, :]  # (qc, 4)
+        for j, coff in enumerate((w + 1, w, 1, 0)):
+            acc += jnp.where(iota == (rel - coff), we[:, j:j + 1], 0.0)
+    return acc
+
+
+def _fwd_kernel_ws(meta_ref, winfo_ref, img_ref, out_ref, ds_sc, *,
+                   c, p, qb, qc, d_size, wwin, w, nseg):
+    cm = p * qc
+    nchunk = qb // qc
+
+    def chunk(ci, _):
+        soff = ci * cm
+        qoff = ci * qc
+        winfo = winfo_ref[pl.ds(soff, cm), :]
+        base = meta_ref[0, ci, 0]
+        ok = meta_ref[0, ci, 1] == 1
+
+        ds_sc[...] = jnp.zeros_like(ds_sc)
+
+        @pl.when(ok)
+        def _():
+            _ws_masks_ds(winfo, img_ref, base, c=c, p=p,
+                         qc=qc, d_size=d_size, wwin=wwin, w=w, ds_sc=ds_sc)
+
+        @pl.when(jnp.logical_not(ok))
+        def _():
+            def seg(s, _):
+                _ws_masks_ds(winfo, img_ref, s * wwin, c=c,
+                             p=p, qc=qc, d_size=d_size, wwin=wwin, w=w,
+                             ds_sc=ds_sc)
+                return 0
+
+            jax.lax.fori_loop(0, nseg, seg, 0, unroll=False)
+
+        weff = winfo[:, :4] * ds_sc[:, :4]  # (cm, 4) attn*bilinear*score
+
+        @pl.when(ok)
+        def _():
+            sw = _ws_swmap(winfo, weff, base, p=p, qc=qc, wwin=wwin, w=w)
+            win_v = img_ref[pl.ds(pl.multiple_of(base, 8), wwin), :c].astype(
+                jnp.float32)
+            out_ref[pl.ds(qoff, qc), :] = jnp.dot(
+                sw, win_v, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+
+        @pl.when(jnp.logical_not(ok))
+        def _():
+            out_ref[pl.ds(qoff, qc), :] = jnp.zeros((qc, c), jnp.float32)
+
+            def seg(s, _):
+                sw = _ws_swmap(winfo, weff, s * wwin, p=p, qc=qc,
+                               wwin=wwin, w=w)
+                win_v = img_ref[pl.ds(s * wwin, wwin), :c].astype(jnp.float32)
+                out_ref[pl.ds(qoff, qc), :] += jnp.dot(
+                    sw, win_v, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+                return 0
+
+            jax.lax.fori_loop(0, nseg, seg, 0, unroll=False)
+
+        return 0
+
+    jax.lax.fori_loop(0, nchunk, chunk, 0, unroll=False)
+
+
+def _run_fwd_ws(value_img, dpt_img, heads, rows, winfo, c, p, qb, d_size,
+                h, w):
+    nh, nblk, m = rows.shape
+    r8, wwin, qc, cm = _ws_geometry(h, w, qb, p)
+    nseg = -(-r8 // wwin)
+    img = _build_img_ws(value_img, dpt_img, heads, r8)
+    winfo9, meta = _ws_prep(rows, winfo, h, w, qb, p, r8, wwin, qc)
+    nchunk = qb // qc
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_ws, c=c, p=p, qb=qb, qc=qc,
+                          d_size=d_size, wwin=wwin, w=w, nseg=nseg),
+        grid=(nh, nblk),
+        out_shape=jax.ShapeDtypeStruct((nh * nblk * qb, c), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((1, nchunk, 2), lambda ci, bi: (ci * nblk + bi, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((m, 9), lambda ci, bi: (ci * nblk + bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r8, c + d_size), lambda ci, bi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((qb, c), lambda ci, bi: (ci * nblk + bi, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((cm, 8), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(
+        meta,
+        winfo9,
+        img.reshape(nh * r8, c + d_size),
+    )
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel_ws(meta_ref, winfo_ref, g_ref, img_ref, dimg_ref,
+                   dw4_ref, ddvec_ref, ds_sc, t_sc, *, c, p, qb, qc, d_size,
+                   wwin, w, nseg, heads):
+    cm = p * qc
+    nchunk = qb // qc
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dimg_ref[...] = jnp.zeros_like(dimg_ref)
+
+    def chunk(ci, _):
+        soff = ci * cm
+        qoff = ci * qc
+        winfo = winfo_ref[pl.ds(soff, cm), :]
+        base = meta_ref[0, ci, 0]
+        ok = meta_ref[0, ci, 1] == 1
+        g = g_ref[pl.ds(qoff, qc), :]  # (qc, c) f32
+
+        ds_sc[...] = jnp.zeros_like(ds_sc)
+        t_sc[...] = jnp.zeros_like(t_sc)
+
+        def passes_a(b):
+            win = img_ref[pl.ds(pl.multiple_of(b, 8), wwin), :]
+            win_d = win[:, c:].astype(jnp.float32)
+            win_v = win[:, :c].astype(jnp.float32)
+            gv = jax.lax.dot_general(
+                g, win_v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)  # (qc, wwin)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (qc, wwin), 1)
+            for pp in range(p):
+                off = pp * qc
+                wslice = winfo[off:off + qc, :]
+                dvec_p = _dvec(wslice, qc, d_size)
+                gd = jax.lax.dot_general(
+                    dvec_p, win_d, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+                rel = wslice[:, 8:9].astype(jnp.int32) - b
+                for j, coff in enumerate((w + 1, w, 1, 0)):
+                    mask = iota == (rel - coff)
+                    ds_sc[pl.ds(off, qc), j:j + 1] += jnp.sum(
+                        jnp.where(mask, gd, 0.0), axis=1, keepdims=True)
+                    t_sc[pl.ds(off, qc), j:j + 1] += jnp.sum(
+                        jnp.where(mask, gv, 0.0), axis=1, keepdims=True)
+
+        @pl.when(ok)
+        def _():
+            passes_a(base)
+
+        @pl.when(jnp.logical_not(ok))
+        def _():
+            def seg(s, _):
+                passes_a(s * wwin)
+                return 0
+
+            jax.lax.fori_loop(0, nseg, seg, 0, unroll=False)
+
+        ds4 = ds_sc[:, :4]
+        t4 = t_sc[:, :4]
+        w4 = winfo[:, :4]
+        dw4_ref[pl.ds(soff, cm), :] = ds4 * t4
+        weff = w4 * ds4   # forward S_w weights (value scatter)
+        wt = w4 * t4      # depth scatter / ddvec weights
+
+        def scatter_for_base(b):
+            iota = jax.lax.broadcasted_iota(jnp.int32, (qc, wwin), 1)
+            win = img_ref[pl.ds(pl.multiple_of(b, 8), wwin), :]
+            win_d = win[:, c:].astype(jnp.float32)
+            upd_v = jnp.zeros((wwin, c), jnp.float32)
+            upd_d = jnp.zeros((wwin, d_size), jnp.float32)
+            for pp in range(p):
+                off = pp * qc
+                wslice = winfo[off:off + qc, :]
+                rel = wslice[:, 8:9].astype(jnp.int32) - b
+                dvec_p = _dvec(wslice, qc, d_size)
+                swp = jnp.zeros((qc, wwin), jnp.float32)
+                swt = jnp.zeros((qc, wwin), jnp.float32)
+                for j, coff in enumerate((w + 1, w, 1, 0)):
+                    mask = iota == (rel - coff)
+                    swp += jnp.where(mask, weff[off:off + qc, j:j + 1], 0.0)
+                    swt += jnp.where(mask, wt[off:off + qc, j:j + 1], 0.0)
+                # ddvec for this point: S_wt @ window_dpt
+                ddvec_ref[pl.ds(soff + off, qc), :] += jnp.dot(
+                    swt, win_d, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+                upd_v += jax.lax.dot_general(
+                    swp, g, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)  # (wwin, c)
+                upd_d += jax.lax.dot_general(
+                    swt, dvec_p, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)  # (wwin, D)
+            dimg_ref[pl.ds(pl.multiple_of(b, 8), wwin), :] += (
+                jnp.concatenate([upd_v, upd_d], axis=1))
+
+        ddvec_ref[pl.ds(soff, cm), :] = jnp.zeros((cm, d_size), jnp.float32)
+
+        @pl.when(ok)
+        def _():
+            scatter_for_base(base)
+
+        @pl.when(jnp.logical_not(ok))
+        def _():
+            def seg(s, _):
+                scatter_for_base(s * wwin)
+                return 0
+
+            jax.lax.fori_loop(0, nseg, seg, 0, unroll=False)
+
+        return 0
+
+    jax.lax.fori_loop(0, nchunk, chunk, 0, unroll=False)
+
+
+def _run_bwd_ws(value_img, dpt_img, heads, rows, winfo, g_flat, c, p, qb,
+                d_size, h, w):
+    nh, nblk, m = rows.shape
+    n = value_img.shape[0]
+    r8, wwin, qc, cm = _ws_geometry(h, w, qb, p)
+    nseg = -(-r8 // wwin)
+    img = _build_img_ws(value_img, dpt_img, heads, r8)
+    winfo9, meta = _ws_prep(rows, winfo, h, w, qb, p, r8, wwin, qc)
+    nchunk = qb // qc
+    dimg, dw4_ws, ddvec_ws = pl.pallas_call(
+        functools.partial(_bwd_kernel_ws, c=c, p=p, qb=qb, qc=qc,
+                          d_size=d_size, wwin=wwin, w=w, nseg=nseg,
+                          heads=heads),
+        grid=(nh, nblk),
+        out_shape=(
+            jax.ShapeDtypeStruct((nh * r8, c + d_size), jnp.float32),
+            jax.ShapeDtypeStruct((nh * nblk * m, 4), jnp.float32),
+            jax.ShapeDtypeStruct((nh * nblk * m, d_size), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec((1, nchunk, 2), lambda ci, bi: (ci * nblk + bi, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((m, 9), lambda ci, bi: (ci * nblk + bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qb, c), lambda ci, bi: (ci * nblk + bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r8, c + d_size), lambda ci, bi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((r8, c + d_size), lambda ci, bi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, 4), lambda ci, bi: (ci * nblk + bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, d_size), lambda ci, bi: (ci * nblk + bi, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((cm, 8), jnp.float32),  # per-corner depth scores
+            pltpu.VMEM((cm, 8), jnp.float32),  # per-corner t values
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(
+        meta,
+        winfo9,
+        g_flat,
+        img.reshape(nh * r8, c + d_size),
+    )
+    # un-bundle the gradient image: per-(cam, head) value lanes + the D depth
+    # lanes (summed over heads); drop the pad rows
+    hw = h * w
+    dimg = dimg.reshape(n, heads, r8, c + d_size)[:, :, :hw]
+    d_value = jnp.moveaxis(dimg[..., :c], 1, 2).reshape(n, h, w, heads * c)
+    d_dpt = dimg[..., c:].sum(axis=1).reshape(n, h, w, d_size)
+    # sample grads back to v2 block-point-major layout
+    dw4 = _from_ws(dw4_ws, nh, nblk, p, nchunk, qc)
+    ddvec = _from_ws(ddvec_ws, nh, nblk, p, nchunk, qc)
+    return (d_value, d_dpt), dw4, ddvec
+
+
+# ---------------------------------------------------------------------------
+# public op with custom VJP
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def dfa3d_attention_pallas_ws(value_img, dpt_img, sampling_locations,
+                              attention_weights, num_heads):
+    """Fused depth-weighted deformable attention, windowed-SPMM kernel.
+
+    Shapes as ``dfa3d_attention_pallas_v2``.  Exact for bf16 value/depth
+    inputs (the production compute dtype); f32 inputs are rounded to bf16
+    inside the image operand.
+    """
+    out, _ = _fwd_impl_ws(value_img, dpt_img, sampling_locations,
+                          attention_weights, num_heads)
+    return out
+
+
+def _fwd_impl_ws(value_img, dpt_img, sampling_locations, attention_weights,
+                 num_heads):
+    n, k = sampling_locations.shape[:2]
+    hp = sampling_locations.shape[2] * sampling_locations.shape[3]
+    chunk = _pick_cam_chunk(n, k * hp)
+    if chunk == n:
+        out = _fwd_cams_v2(value_img, dpt_img, sampling_locations,
+                           attention_weights, num_heads, runner=_run_fwd_ws,
+                           pick_qb=_pick_qb_ws)
+    else:
+        groups = n // chunk
+
+        def body(args):
+            return _fwd_cams_v2(*args, num_heads, runner=_run_fwd_ws,
+                                pick_qb=_pick_qb_ws)
+
+        out = jax.lax.map(
+            body,
+            tuple(
+                x.reshape((groups, chunk) + x.shape[1:])
+                for x in (value_img, dpt_img, sampling_locations,
+                          attention_weights)
+            ),
+        )
+        out = out.reshape((n,) + out.shape[2:])
+    return out, (value_img, dpt_img, sampling_locations, attention_weights)
+
+
+def _vjp_fwd_ws(value_img, dpt_img, sampling_locations, attention_weights,
+                num_heads):
+    return _fwd_impl_ws(value_img, dpt_img, sampling_locations,
+                        attention_weights, num_heads)
+
+
+def _vjp_bwd_ws(num_heads, res, g):
+    value_img, dpt_img, sampling_locations, attention_weights = res
+    n, k = sampling_locations.shape[:2]
+    hp = sampling_locations.shape[2] * sampling_locations.shape[3]
+    chunk = _pick_cam_chunk(n, k * hp)
+    kw = dict(runner=_run_bwd_ws, pick_qb=_pick_qb_ws, direct_grads=True)
+    if chunk == n:
+        return _bwd_cams_v2(value_img, dpt_img, sampling_locations,
+                            attention_weights, g, num_heads, **kw)
+    groups = n // chunk
+
+    def body(args):
+        return _bwd_cams_v2(*args[:4], args[4], num_heads, **kw)
+
+    grads = jax.lax.map(
+        body,
+        tuple(
+            x.reshape((groups, chunk) + x.shape[1:])
+            for x in (value_img, dpt_img, sampling_locations,
+                      attention_weights, g)
+        ),
+    )
+    return tuple(x.reshape((n,) + x.shape[2:]) for x in grads)
+
+
+dfa3d_attention_pallas_ws.defvjp(_vjp_fwd_ws, _vjp_bwd_ws)
