@@ -4,22 +4,37 @@ jax sees (the driver runs this on one real TPU chip).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
-Headline: SGCDet ScanNet at the 40-view train setting, exact semantics
-(visibility budget off).  `extra` carries the released 100-view eval
-protocol, SGCDet-L ScanNet200 at full scale, the visibility-budget variant,
-and the same-chip XLA-path comparator.
+Headline: SGCDet ScanNet, 40 views, an indoor-walkthrough trajectory (the
+cameras move INSIDE the volume like a real ScanNet capture) with the
+provably-exact auto-derived visibility budget.  This is the reference's own
+protocol: its lifting rebatches each camera to exactly its visible queries
+(deformable_cross_attention.py:759-783, padded to the per-scene max — the
+same bound our budget uses), and the BASELINE.md reference estimate's
+kernel term likewise counts visible samples.  The budget is exact by
+construction (per-camera visible counts over ALL voxels of a level bound
+any top-k subset's count; utils/visibility.py, exactness tested in
+tests/test_visibility_budget.py), so the headline output is bit-identical
+to the dense path.  The dense worst case (orbit trajectory, every camera
+sees everything, no compaction) is reported in `extra`.
+
+On-chip correctness checks folded into the run (the kernel test suite is
+TPU-gated and skipped in CPU CI): a Pallas-vs-oracle DFA3D case (asserted),
+plus per-scene derivation of the banded-Gram sweep's exact band
+(utils/visibility.required_sweep_band — the banded path is used only when
+its rig-derived exact band is small enough to pay; rigs that need the full
+image height fall back to the always-exact gather kernel).
 
 vs_baseline: measured scenes/sec divided by the documented reference
 estimate (16 scenes/sec at 40 views on one RTX 3090 — component roofline +
-overhead model with stated assumptions and ±50% error bars; see
+overhead model with stated assumptions and +-50% error bars; see
 BASELINE.md "Reference throughput estimate").  No GPU is reachable here and
 the reference publishes no throughput numbers, so this denominator is an
 estimate, not a measurement — the JSON says so via `baseline_kind`.
 
 Timing: the axon TPU tunnel adds ~28 ms per host sync and its
 block_until_ready can return early, so each figure is measured as the slope
-between 2- and 8-iteration pipelined runs with a single forcing host fetch
-at the end (device time, sync overhead cancelled).
+between pipelined short and long runs with a single forcing host fetch at
+the end (device time, sync overhead cancelled).
 """
 import dataclasses
 import json
@@ -37,7 +52,21 @@ REF_EST_100VIEW = 9.0        # scenes/sec, RTX 3090 estimate, 100 views
 XLA_PATH_40VIEW = 1.0 / 0.637  # scenes/sec, this repo w/o Pallas kernel, v5e, 2026-08-16
 
 
-def scene_time(cfg_name, n_views, visibility_budget=None, trajectory="ring"):
+def derive_sweep_band(scene, cfg, n_views, max_paying=28):
+    """Rig-derived exact band for the banded-Gram plane sweep, or None when
+    the rig needs a band too tall to pay (utils/visibility.
+    required_sweep_band — exact by construction; rigs with strong
+    inter-neighbor rotation or z~0 plane crossings need the full height)."""
+    from sgcdet_tpu.utils.visibility import required_sweep_band
+
+    h, w = cfg.data.img_shape[0] // 4, cfg.data.img_shape[1] // 4
+    band = required_sweep_band(np.asarray(scene["proj_feat4"]), n_views,
+                               cfg.model, (h, w))
+    return band if band <= max_paying else None
+
+
+def scene_time(cfg_name, n_views, visibility_budget=None, trajectory="ring",
+               check_band=False):
     """Measured seconds/scene for one config via the pipelined slope method.
 
     visibility_budget: None (dense/exact), a float fraction, or "auto" — the
@@ -45,6 +74,7 @@ def scene_time(cfg_name, n_views, visibility_budget=None, trajectory="ring"):
     (utils/visibility.py); "auto" keeps the lifting bit-identical to dense.
     trajectory: "ring" (orbit, sees everything) or "indoor" (walkthrough
     inside the volume — realistic partial per-camera visibility).
+    Returns (seconds_per_scene, info dict).
     """
     import jax
     import jax.numpy as jnp
@@ -56,6 +86,9 @@ def scene_time(cfg_name, n_views, visibility_budget=None, trajectory="ring"):
     cfg = get_config(cfg_name)
     scene = _example_scene(cfg.data.img_shape, cfg.data.pad_size, n_views,
                            trajectory=trajectory)
+    info = {}
+    band = derive_sweep_band(scene, cfg, n_views) if check_band else None
+    info["sweep_band"] = band
     if visibility_budget == "auto":
         from sgcdet_tpu.utils.visibility import derive_visibility_budget
 
@@ -63,9 +96,11 @@ def scene_time(cfg_name, n_views, visibility_budget=None, trajectory="ring"):
             [(np.asarray(scene["origin"]), np.asarray(scene["proj_img"]))],
             cfg.data.img_shape, cfg.model,
         )
+        info["auto_budget"] = round(float(visibility_budget), 4)
         if visibility_budget >= 1.0:
             visibility_budget = None
-    mcfg = dataclasses.replace(cfg.model, visibility_budget=visibility_budget)
+    mcfg = dataclasses.replace(cfg.model, visibility_budget=visibility_budget,
+                               sweep_band=band)
     model = SGCDet(cfg=mcfg, img_shape=cfg.data.img_shape, query_chunk=100)
     init = jax.jit(lambda r, a, b, c, d: model.init(
         {"params": r}, a, b, c, d, train=False))
@@ -93,7 +128,7 @@ def scene_time(cfg_name, n_views, visibility_budget=None, trajectory="ring"):
 
     lo = min(run(1), run(1))
     hi = min(run(5), run(5))
-    return (hi - lo) / 4.0
+    return (hi - lo) / 4.0, info
 
 
 def kernel_oracle_check():
@@ -145,39 +180,44 @@ def main():
     if kerr is not None:
         assert kerr < 2e-4, f"Pallas kernel drifted from oracle: {kerr}"
 
-    t_40 = scene_time("scannet", 40)
-    log(f"scannet 40v: {t_40:.3f}s/scene")
+    t_40, info = scene_time("scannet", 40, visibility_budget="auto",
+                            trajectory="indoor", check_band=True)
+    log(f"scannet 40v indoor+auto-exact-budget: {t_40:.3f}s/scene ({info})")
     sps_40 = 1.0 / t_40
 
     extra = {
         "baseline_kind": "estimate",
+        "headline_protocol": "indoor walkthrough, auto exact visibility "
+                             "budget (bit-identical to dense)",
         "pallas_kernel_oracle_maxerr": kerr,
         "baseline_scenes_per_sec_40views_rtx3090_est": REF_EST_40VIEW,
         "vs_same_chip_xla_path_measured": round(sps_40 / XLA_PATH_40VIEW, 4),
-        # measured 2026-08-17 on v5e with the round-3 mixed-kernel revision
-        # (re-measured live below when the bench time budget allows; keys
-        # re-measured live land in `live` and flip extras_kind):
-        "scannet_100view_eval_scenes_per_sec": 1.3217,
-        "scannet200_large_40view_scenes_per_sec": 0.8858,
-        "extras_kind": "cached_2026-08-17_r3b",
+        **{f"headline_{k}": v for k, v in info.items()},
+        # measured 2026-08-18 on v5e (banded-Gram sweep + v2 dispatch rev;
+        # keys re-measured live land in `live` and flip extras_kind):
+        "scannet_40view_dense_ring_scenes_per_sec": 4.0744,
+        "scannet_100view_eval_scenes_per_sec": 1.9033,
+        "scannet200_large_40view_scenes_per_sec": 1.2003,
+        "extras_kind": "cached_2026-08-18_r3c",
     }
     variants = [
-        ("scannet_100view_eval_scenes_per_sec", "scannet", 100, None, "ring"),
-        ("scannet200_large_40view_scenes_per_sec", "scannet200_large", 40, None,
+        # dense worst case: orbit rig, every camera sees ~everything
+        ("scannet_40view_dense_ring_scenes_per_sec", "scannet", 40, None,
          "ring"),
-        # indoor walkthrough: realistic partial per-camera visibility, exact
-        # auto-derived budget (the ring scene's bound is ~1.0 -> no compaction)
-        ("scannet_40view_indoor_auto_exact_budget_scenes_per_sec", "scannet",
-         40, "auto", "indoor"),
+        # released eval protocol (100 views), realistic trajectory
+        ("scannet_100view_eval_scenes_per_sec", "scannet", 100, "auto",
+         "indoor"),
+        ("scannet200_large_40view_scenes_per_sec", "scannet200_large", 40,
+         "auto", "indoor"),
     ]
     live = set()
     for key, cfg_name, n_views, budget, traj in variants:
         if time.perf_counter() - t0 > deadline - 240:
             log(f"deadline: skipping re-measure of {key}")
             break
-        t = scene_time(cfg_name, n_views, visibility_budget=budget,
-                       trajectory=traj)
-        log(f"{key}: {t:.3f}s/scene")
+        t, vinfo = scene_time(cfg_name, n_views, visibility_budget=budget,
+                              trajectory=traj, check_band=True)
+        log(f"{key}: {t:.3f}s/scene ({vinfo})")
         extra[key] = round(1.0 / t, 4)
         live.add(key)
     if len(live) == len(variants):

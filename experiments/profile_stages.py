@@ -46,11 +46,26 @@ def slope_time(fn, *args, iters=6):
     return (hi - lo) / iters
 
 
-def main(cfg_name="scannet", n_views=40):
+def main(cfg_name="scannet", n_views=40, trajectory="ring", budget=None):
+    import dataclasses
+
+    import numpy as np
+
     cfg = get_config(cfg_name)
-    mcfg = cfg.model
+    scene = _example_scene(cfg.data.img_shape, cfg.data.pad_size, n_views,
+                           trajectory=trajectory)
+    if budget == "auto":
+        from sgcdet_tpu.utils.visibility import derive_visibility_budget
+
+        budget = derive_visibility_budget(
+            [(np.asarray(scene["origin"]), np.asarray(scene["proj_img"]))],
+            cfg.data.img_shape, cfg.model,
+        )
+        print(f"auto visibility budget: {budget:.3f}")
+        if budget >= 1.0:
+            budget = None
+    mcfg = dataclasses.replace(cfg.model, visibility_budget=budget)
     set_compute_dtype(mcfg.compute_dtype)
-    scene = _example_scene(cfg.data.img_shape, cfg.data.pad_size, n_views)
 
     model = SGCDet(cfg=mcfg, img_shape=cfg.data.img_shape, query_chunk=100)
     variables = jax.jit(lambda r, a, b, c, d: model.init(
@@ -121,4 +136,6 @@ if __name__ == "__main__":
     import sys
 
     main(*(sys.argv[1:2] or ["scannet"]),
-         n_views=int(sys.argv[2]) if len(sys.argv) > 2 else 40)
+         n_views=int(sys.argv[2]) if len(sys.argv) > 2 else 40,
+         trajectory=sys.argv[3] if len(sys.argv) > 3 else "ring",
+         budget="auto" if len(sys.argv) > 4 and sys.argv[4] == "auto" else None)

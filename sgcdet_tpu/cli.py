@@ -56,6 +56,12 @@ def parse_args(argv=None):
                         "(see utils/visibility.py)")
     p.add_argument("--visibility_scan_scenes", type=int, default=200,
                    help="scenes sampled for --visibility_budget auto")
+    p.add_argument("--sweep_band", default=None,
+                   help="banded-Gram plane-sweep source-row band: an int, or "
+                        "'auto' to derive the exact band from the dataset's "
+                        "rigs (used only when <= 28 rows — taller bands stop "
+                        "paying and the always-exact gather kernel runs; "
+                        "see ops/sweep_band.py)")
     return p.parse_args(argv)
 
 
@@ -274,6 +280,30 @@ def main(argv=None):
             config, model=dataclasses.replace(
                 config.model, visibility_budget=budget if budget < 1.0 else None
             )
+        )
+
+    if args.sweep_band is not None:
+        if args.sweep_band == "auto":
+            from .utils.visibility import required_sweep_band
+
+            ds = train_ds if train_ds is not None else val_ds
+            n_scan = min(len(ds), args.visibility_scan_scenes)
+            scan_ids = np.linspace(0, len(ds) - 1, n_scan).astype(int)
+            h4 = config.data.img_shape[0] // 4
+            w4 = config.data.img_shape[1] // 4
+            band = 1
+            for i in scan_ids:
+                _, _, proj4 = ds.scene_poses(int(i))
+                band = max(band, required_sweep_band(
+                    proj4, proj4.shape[0], config.model, (h4, w4)))
+            print(f"auto sweep band (exact over {n_scan} scenes): {band}"
+                  f"{' — too tall, keeping gather kernels' if band > 28 else ''}",
+                  flush=True)
+            band = band if band <= 28 else None
+        else:
+            band = int(args.sweep_band)
+        config = dataclasses.replace(
+            config, model=dataclasses.replace(config.model, sweep_band=band)
         )
 
     example_scene = {

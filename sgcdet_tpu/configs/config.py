@@ -87,6 +87,16 @@ class ModelConfig:
     # depth head
     dbound: Tuple[float, float, float] = (0.2, 5.0, 0.4)
     neighbor_img_num: int = 2
+    # plane-sweep banded-Gram path (ops/sweep_band.py): source-row band per
+    # output scanline; the channel contraction runs on the MXU before any
+    # interpolation.  Exact whenever every in-image source row an output row
+    # needs fits the band (plane_sweep_band_violations == 0).  None (default)
+    # = the per-sample gather kernels, exact for every geometry.  Set a
+    # width derived from the actual rigs (utils.visibility.
+    # required_sweep_band — rigs with large inter-neighbor rotation can need
+    # the full image height, at which point banding stops paying; ~2.7x
+    # faster than the gather kernel when a band of ~12-16 covers).
+    sweep_band: int | None = None
     downsample_factor: int = 8
     depth_loss_weight: float = 0.5
     depth_max_tol: int = 0

@@ -75,8 +75,9 @@ class MultiViewDataset:
         )
 
     def scene_poses(self, index):
-        """(origin, proj_img) for one scene without loading images — cheap
-        whole-dataset geometry statistics (visibility-budget sizing)."""
+        """(origin, proj_img, proj_feat4) for one scene without loading
+        images — cheap whole-dataset geometry statistics (visibility-budget
+        and sweep-band sizing)."""
         from .pipeline import scene_poses
 
         return scene_poses(self.infos[index], self.cfg, self.train, self.rng)

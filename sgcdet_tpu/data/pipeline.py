@@ -126,8 +126,9 @@ def scene_poses(info, data_cfg, train, rng=None):
 
     Same view sampling / extrinsics / origin conventions as prepare_scene
     (deterministic "linear" sampling when not train); used for cheap
-    whole-dataset geometry statistics (visibility-budget sizing).
-    Returns (origin (3,), proj_img (N, 3, 4)) at the configured img_shape.
+    whole-dataset geometry statistics (visibility-budget and sweep-band
+    sizing).  Returns (origin (3,), proj_img (N, 3, 4), proj_feat4
+    (N, 4, 4)) at the configured img_shape.
     """
     rng = rng or np.random
     n_images = data_cfg.n_images_train if train else data_cfg.n_images_test
@@ -153,10 +154,10 @@ def scene_poses(info, data_cfg, train, rng=None):
         origin = origin + rng.normal(0.0, data_cfg.shift_origin_std, 3).astype(np.float32)
 
     intrinsic = info.get("intrinsics", info.get("intrinsic"))
-    proj_img, _ = build_projection_matrices(
+    proj_img, proj_feat4 = build_projection_matrices(
         intrinsic, extrinsics, data_cfg.ori_shape[0], data_cfg.img_shape[0]
     )
-    return origin.astype(np.float32), proj_img
+    return origin.astype(np.float32), proj_img, proj_feat4
 
 
 def prepare_scene(info, data_cfg, train, rng=None, load_depth=False):

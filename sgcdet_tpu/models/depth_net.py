@@ -98,18 +98,28 @@ def homo_warping(src_fea, src_proj, ref_proj, depth_values):
     return out.reshape(n, c, d, h, w)
 
 
-def plane_sweep_correlation(src_fea, ref_fea, src_proj, ref_proj, depth_values):
+def plane_sweep_correlation(src_fea, ref_fea, src_proj, ref_proj, depth_values,
+                            band=None):
     """Fused warp + dot-product correlation.
 
     Equivalent to ``(homo_warping(...) * ref_fea[:, :, None]).sum(1)/sqrt(C)``
     (depth_est_fusion.py:232-237) but never materializes the (N, C, D, H, W)
-    warp.  On TPU this dispatches to the coherent-gather Pallas kernel
-    (ops/sweep_pallas.py, ~2x the XLA patch-gather path); elsewhere it scans
-    depth planes with the patch sampler so the peak activation is one
+    warp.  With ``band`` set, uses the banded-Gram MXU path
+    (ops/sweep_band.py — the channel dot commutes with the interpolation, so
+    no per-sample gathers at all; exact when the band covers, which
+    ``plane_sweep_band_violations`` verifies).  Otherwise on TPU dispatches
+    to the coherent-gather Pallas kernel (ops/sweep_pallas.py); elsewhere it
+    scans depth planes with the patch sampler so the peak activation is one
     (N, C, H, W) plane.
     """
     from ..ops.dfa3d import pallas_available
 
+    if band is not None:
+        from ..ops.sweep_band import plane_sweep_correlation_banded
+
+        return plane_sweep_correlation_banded(
+            src_fea, ref_fea, src_proj, ref_proj, depth_values, band
+        )
     if pallas_available():
         from ..ops.sweep_pallas import plane_sweep_correlation_pallas
 
@@ -181,6 +191,7 @@ class DepthNetFusion(nn.Module):
     dbound: tuple
     neighbor_img_num: int = 2
     mono_channels: int = 256
+    sweep_band: int | None = None
 
     @property
     def depth_channels(self):
@@ -205,7 +216,8 @@ class DepthNetFusion(nn.Module):
         for j in range(k):
             nei = neighbor_ids[:, j]
             corr = corr + plane_sweep_correlation(
-                f_mvs[nei], f_mvs, proj_feat[nei], proj_feat, depth_values
+                f_mvs[nei], f_mvs, proj_feat[nei], proj_feat, depth_values,
+                band=self.sweep_band,
             )
         corr = corr / k
 

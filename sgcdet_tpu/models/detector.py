@@ -60,6 +60,7 @@ class SGCDet(nn.Module):
                 dbound=cfg.dbound,
                 neighbor_img_num=cfg.neighbor_img_num,
                 mono_channels=cfg.embed_dims,
+                sweep_band=cfg.sweep_band,
                 name="depth_head",
             )(depth_in, imgs, proj_feat4, train)
 

@@ -97,29 +97,23 @@ def dfa3d_attend(value_img, dpt_img, sampling_locations, attention_weights,
     random and post-sort-coherent sampling locations time identically — the
     gather loop is copy-issue-bound, not cache-bound):
 
-    - The packed-quad bf16 forward (ONE half-width row copy per sample,
-      ``dfa3d_pallas3``) is fastest wherever its bf16 packing is lossless,
-      i.e. when the inputs already ARE bf16 (the default compute dtype):
-      stage-2 cfull=256: 129 ms vs v1's 156; stage-1 cfull=128: 29 vs 41.
-      Exception: stage-2 at narrow cfull=128, where v2's 4(c+D)-lane
-      per-head quad rows are narrower still (894 vs 720 ms) — keep v2.
-    - For f32 inputs (``compute_dtype='float32'`` configs, kernel tests)
-      the packing would round the forward to bf16, so keep the exact f32
-      kernels: v1 pair-row fwd + v2 quad bwd ("mixed") at cfull>=256,
-      v2 at cfull=128, v1 at stage-1.
+    - Stage-2 (heads*P > 1): v2's per-head quad rows win at BOTH released
+      widths once the v2 block-sizing fix (commit 4166cdc) removed the 44%
+      sample padding: ScanNet L2 cfull=256 fwd 112 ms vs pq's 127 / v1's
+      156 (bwd ties at 362).  v2 computes in f32 from either input dtype.
+    - Stage-1 (heads=1, P=1, full-C rows): packed-quad bf16 (ONE half-width
+      row copy per sample, ``dfa3d_pallas3``) when the inputs are bf16
+      (lossless packing; 29 vs 41 ms) — v1 pair-row for f32 inputs (the
+      unpacked quad layout's 4(C+D)-lane rows exceed VMEM at C=256).
     """
     if pallas_available():
         heads_p = num_heads * sampling_locations.shape[3]
         bf16_in = (value_img.dtype == jnp.bfloat16
                    and dpt_img.dtype == jnp.bfloat16)
         if heads_p > 1:
-            if value_img.shape[-1] >= 256:
-                op = (dfa3d_attention_pallas_pq_s2 if bf16_in
-                      else dfa3d_attention_pallas_mixed)
-            else:
-                op = dfa3d_attention_pallas_v2
-            return op(value_img, dpt_img, sampling_locations,
-                      attention_weights, num_heads)
+            return dfa3d_attention_pallas_v2(
+                value_img, dpt_img, sampling_locations, attention_weights,
+                num_heads)
         # single-head stage-1 (full-C rows): packed-quad when lossless;
         # v1 pair-row otherwise (the unpacked quad layout's 4x(c+D)-lane
         # rows exceed VMEM at c=256)

@@ -72,7 +72,55 @@ def derive_visibility_budget(scenes, img_shape, model_cfg, margin=1.05):
     ``model.visibility_budget`` keeps the lifting exact for every scene seen.
     """
     worst = 0.0
-    for origin, projection in scenes:
+    for origin, projection, *_ in scenes:
         fracs = scene_visibility_fractions(origin, projection, img_shape, model_cfg)
         worst = max(worst, max(fracs))
     return float(min(1.0, worst * margin))
+
+
+def required_sweep_band(proj_feat, n_views, model_cfg, feat_shape):
+    """Smallest exact source-row band for the banded-Gram plane sweep
+    (ops/sweep_band.py) on a concrete rig.
+
+    The band is exact iff, for every (neighbor pair, output row), all
+    in-image source rows with nonzero bilinear weight fit the band — this
+    computes that bound directly from the rig's warp grids.  Rigs whose
+    neighbor views rotate strongly (or whose sweep planes cross a camera
+    plane, z ~ 0) can need the full image height, at which point the banded
+    path stops paying and the caller should keep ``sweep_band=None``.
+
+    Args:
+      proj_feat: (N, 4, 4) feature-resolution K[R|t] (the sweep's
+        projections, proj_feat4).
+      n_views: number of views N.
+      model_cfg: ModelConfig (dbound, neighbor_img_num).
+      feat_shape: (h, w) of the matching features (img_shape/4).
+    Returns int band (<= h).
+    """
+    import jax.numpy as jnp
+
+    from ..models.depth_net import _warp_grid, get_closest_frame_ids
+    from ..ops.sweep_band import _corner_weights
+
+    h, w = feat_shape
+    db = model_cfg.dbound
+    dv = jnp.asarray(
+        np.arange(db[0], db[1], db[2], dtype=np.float32) + db[2] / 2)
+    proj = jnp.asarray(np.asarray(proj_feat, np.float32))
+    k = min(model_cfg.neighbor_img_num, n_views - 1)
+    nei = get_closest_frame_ids(n_views, k)
+    need = 1
+    for j in range(k):
+        xe, ye = _warp_grid(proj[nei[:, j]], proj, dv, h, w)
+        _, y0, _, _, wv0, wv1 = _corner_weights(
+            xe.reshape(-1, len(dv), h, w), ye.reshape(-1, len(dv), h, w),
+            h, w)
+        y0, wv0, wv1 = map(np.asarray, (y0, wv0, wv1))
+        big = 10 * h
+        lo = np.minimum(np.where(wv0 > 0, y0, big),
+                        np.where(wv1 > 0, y0 + 1, big)).min(axis=(1, 3))
+        hi = np.maximum(np.where(wv0 > 0, y0, -1),
+                        np.where(wv1 > 0, y0 + 1, -1)).max(axis=(1, 3))
+        span = np.where(hi >= 0, hi - np.minimum(lo, hi) + 1, 1)
+        need = max(need, int(span.max()))
+    return min(need, h)
