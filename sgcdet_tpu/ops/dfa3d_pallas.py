@@ -182,27 +182,26 @@ def _sample_quantities(locs, attn, h, w, d_size, qb):
 
 
 def _gather_loop(rows_ref, img_ref, sc0, sc1, m):
-    """Eight single-row dynamic-slice copies per loop iteration (4 samples x
-    2 pair-rows); the loop is iteration-overhead-bound (~25M iters/s), so
-    batching copies into fewer iterations raises throughput ~1.5x
-    (experiments/probe_gather_unroll.py).  Nested loops keep the SMEM index
-    math add-only (div/mod on the critical path costs ~40%).  rows_ref packs
-    y0 rows in the first m//128 sublane rows and y1 rows in the next m//128."""
+    """Per pair-row stream, 8 samples' rows accumulated in registers and
+    written as ONE sublane-aligned (8, width) store (measured 1.8x over
+    per-row stores — experiments/probe_gather_batch.py, v5e 2026-08-19).
+    Nested loops keep the SMEM index math add-only (div/mod on the critical
+    path costs ~40%).  rows_ref packs y0 rows in the first m//128 sublane
+    rows and y1 rows in the next m//128."""
     half = m // 128
 
     def outer(j, _):
-        base = j * 128
-
         def inner(l, _):
-            i = base + l * 4
-            for t in range(4):
-                sc0[pl.ds(i + t, 1), :] = img_ref[
-                    pl.ds(rows_ref[j, l * 4 + t], 1), :]
-                sc1[pl.ds(i + t, 1), :] = img_ref[
-                    pl.ds(rows_ref[half + j, l * 4 + t], 1), :]
+            i = pl.multiple_of(j * 128 + l * 8, 8)
+            r0 = [img_ref[pl.ds(rows_ref[j, l * 8 + t], 1), :]
+                  for t in range(8)]
+            sc0[pl.ds(i, 8), :] = jnp.concatenate(r0, axis=0)
+            r1 = [img_ref[pl.ds(rows_ref[half + j, l * 8 + t], 1), :]
+                  for t in range(8)]
+            sc1[pl.ds(i, 8), :] = jnp.concatenate(r1, axis=0)
             return 0
 
-        jax.lax.fori_loop(0, 32, inner, 0, unroll=False)
+        jax.lax.fori_loop(0, 16, inner, 0, unroll=False)
         return 0
 
     jax.lax.fori_loop(0, half, outer, 0, unroll=False)

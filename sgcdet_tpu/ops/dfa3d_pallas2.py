@@ -182,30 +182,27 @@ def _sample_quantities_v2(locs, attn, h, w, d_size, qb):
 
 
 def _gather_loop_v2(rows_ref, img_ref, scs, qb):
-    """All P points of a query in ONE loop iteration, one per-point scratch
-    buffer each — the loop-iteration overhead (the dominant cost for narrow
-    rows, experiments/gather_probe6.py) is paid once per query instead of
-    once per sample.  rows_ref segments: point j occupies sublane rows
-    [j*qb/128, (j+1)*qb/128)."""
+    """Per point, 8 consecutive samples' rows accumulated in registers and
+    written as ONE sublane-aligned (8, width) store — the copies are vector
+    load/store pairs sharing VPU issue slots, so batching the store side is
+    a measured 1.8x over per-row stores (5.3 vs 9.5 ns/copy standalone,
+    experiments/probe_gather_batch.py, v5e 2026-08-19).  rows_ref segments:
+    point j occupies sublane rows [j*qb/128, (j+1)*qb/128)."""
     p = len(scs)
     seg = qb // 128
-    # 2 queries x P points per iteration: the loop is iteration-overhead-
-    # bound (~25M iters/s), so more copies per iteration raise throughput
-    # (experiments/probe_gather_unroll.py)
 
     def outer(j, _):
-        base = j * 128
-
         def inner(l, _):
-            i = base + l * 2
-            for t in range(2):
-                for pt in range(p):
-                    scs[pt][pl.ds(i + t, 1), :] = img_ref[
-                        pl.ds(rows_ref[pt * seg + j, l * 2 + t], 1), :
-                    ]
+            i = pl.multiple_of(j * 128 + l * 8, 8)
+            for pt in range(p):
+                rows = [
+                    img_ref[pl.ds(rows_ref[pt * seg + j, l * 8 + t], 1), :]
+                    for t in range(8)
+                ]
+                scs[pt][pl.ds(i, 8), :] = jnp.concatenate(rows, axis=0)
             return 0
 
-        jax.lax.fori_loop(0, 64, inner, 0, unroll=False)
+        jax.lax.fori_loop(0, 16, inner, 0, unroll=False)
         return 0
 
     jax.lax.fori_loop(0, seg, outer, 0, unroll=False)

@@ -110,16 +110,17 @@ def _quad_rows(rows, h, w):
 
 
 def _gather_loop_q(rows_ref, img_ref, sc, m):
-    """Eight single-row quad copies per iteration (copy-issue-bound loop;
-    see probe_row_width.py)."""
+    """Eight quad rows accumulated in registers, ONE aligned (8, width)
+    store per iteration (measured 1.8x over per-row stores —
+    experiments/probe_gather_batch.py, v5e 2026-08-19)."""
     def outer(j, _):
-        base = j * 128
-
         def inner(l, _):
-            i = base + l * 8
-            for t in range(8):
-                sc[pl.ds(i + t, 1), :] = img_ref[
-                    pl.ds(rows_ref[j, l * 8 + t], 1), :]
+            i = pl.multiple_of(j * 128 + l * 8, 8)
+            rows = [
+                img_ref[pl.ds(rows_ref[j, l * 8 + t], 1), :]
+                for t in range(8)
+            ]
+            sc[pl.ds(i, 8), :] = jnp.concatenate(rows, axis=0)
             return 0
 
         jax.lax.fori_loop(0, 16, inner, 0, unroll=False)

@@ -120,15 +120,18 @@ def _sweep_rows_weights(x_eff, y_eff, h, w, hwp):
 
 
 def _gather_rows(rows_ref, img_ref, sc, m):
-    # 8 independent single-row copies per loop iteration: the gather loop is
-    # iteration-overhead-bound, not bytes-bound (experiments/
-    # probe_gather_unroll.py: ~1.6x over one copy/iter at the sweep shape)
+    # 8 rows accumulated in registers, ONE sublane-aligned (8, width) store
+    # per iteration: the copies are vector load/store pairs, so batching the
+    # store side is a measured 1.8x over per-row stores (experiments/
+    # probe_gather_batch.py, v5e 2026-08-19)
     def outer(j, _):
         def inner(l, _):
-            base = j * 128 + l * 8
-            for s in range(8):
-                sc[pl.ds(base + s, 1), :] = img_ref[
-                    pl.ds(rows_ref[j, l * 8 + s], 1), :]
+            base = pl.multiple_of(j * 128 + l * 8, 8)
+            rows = [
+                img_ref[pl.ds(rows_ref[j, l * 8 + s], 1), :]
+                for s in range(8)
+            ]
+            sc[pl.ds(base, 8), :] = jnp.concatenate(rows, axis=0)
             return 0
 
         jax.lax.fori_loop(0, 16, inner, 0, unroll=False)
