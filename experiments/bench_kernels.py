@@ -15,9 +15,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sgcdet_tpu.ops.dfa3d import (
+from sgcdet_tpu.ops.dfa3d import dfa3d_attention_pallas_pq_s1
+from experiments.dfa3d_variants import (
     dfa3d_attention_pallas_mixed,
-    dfa3d_attention_pallas_pq_s1,
     dfa3d_attention_pallas_pq_s2,
 )
 from sgcdet_tpu.ops.dfa3d_pallas import dfa3d_attention_pallas

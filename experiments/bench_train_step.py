@@ -56,23 +56,30 @@ def main(cfg_name="scannet", n_views=40, trajectory="indoor", budget="auto"):
         gt_labels=jnp.asarray(
             rng.randint(0, cfg.model.n_classes, max_boxes).astype(np.int32)),
         gt_mask=jnp.asarray((np.arange(max_boxes) < 8)),
+        # GT depth at downsample_factor x the stride-4 prediction grid
+        # (ScanNet: 480x640 native depth PNGs, ds=8; ARKit: ds=4)
         gt_depth=jnp.asarray(
-            rng.uniform(0.5, 4.5, (n_views,) + tuple(cfg.data.pad_size))
-            .astype(np.float32)),
+            rng.uniform(
+                0.5, 4.5,
+                (n_views,
+                 cfg.data.pad_size[0] // 4 * cfg.model.downsample_factor,
+                 cfg.data.pad_size[1] // 4 * cfg.model.downsample_factor),
+            ).astype(np.float32)),
     )
 
     model, state, tx = init_train_state(cfg, jax.random.PRNGKey(0), scene)
     step = make_train_step(model, cfg, tx)
     key = jax.random.PRNGKey(1)
+    batch = {k: v[None] for k, v in scene.items()}  # bs=1 (mesh-less step)
 
-    state, metrics = step(state, scene, key)  # compile + warm
+    state, metrics = step(state, batch, key)  # compile + warm
     float(metrics["loss"])
 
     def run(m):
         s, mt = state, None
         t0 = time.perf_counter()
         for _ in range(m):
-            s, mt = step(s, scene, key)
+            s, mt = step(s, batch, key)
         float(mt["loss"])
         return time.perf_counter() - t0
 

@@ -15,13 +15,13 @@ import jax
 import jax.numpy as jnp
 
 from experiments.bench_kernels import SHAPES, make_case, slope_time
-from sgcdet_tpu.ops.dfa3d import dfa3d_attention_pallas_pq_s2
+from experiments.dfa3d_variants import dfa3d_attention_pallas_pq_s2
 from sgcdet_tpu.ops.dfa3d_pallas3 import dfa3d_attention_pallas_pq
-from sgcdet_tpu.ops.dfa3d_pallas4 import (
+from experiments.dfa3d_pallas4 import (
     dfa3d_attention_pallas_w,
     dfa3d_attention_pallas_wh,
 )
-from sgcdet_tpu.ops.dfa3d_pallas5 import dfa3d_attention_pallas_ws
+from experiments.dfa3d_pallas5 import dfa3d_attention_pallas_ws
 from sgcdet_tpu.ops.msda import dfa3d_attention
 
 

@@ -4,14 +4,17 @@
 Output-level dtype deltas on RANDOM weights are a worst case: untrained
 occupancy scores are noise, so rank flips in the sparse top-k look alarming
 but say nothing about a trained model.  This script instead
-  1. builds a shrunken-but-real SGCDet (ScanNet heads, smaller volume),
-  2. OVERFITS it on a few synthetic scenes with box/centerness/cls losses
-     until the detector is confident (mAP ~0.9 on its train scenes — peaked
-     scores around the decode/NMS thresholds, like a trained model),
+  1. builds a real SGCDet (ScanNet heads; --scale small = shrunken volume,
+     --scale released = the full released 40x40x16 / embed-256 config),
+  2. OVERFITS it on n synthetic scenes with box/centerness/cls losses
+     until the detector is confident (peaked scores around the decode/NMS
+     thresholds, like a trained model),
   3. evaluates the SAME weights through forward -> decode -> NMS ->
      indoor_eval under compute_dtype float32 and bfloat16,
-and prints the mAP/mAR table.  Run (TPU or CPU, CPU is slow):
-    python -m experiments.bf16_ab [steps]
+and prints the mAP/mAR table plus the max decoded box/score drift per
+scene.  Run (TPU or CPU, CPU is slow):
+    python -m experiments.bf16_ab [steps] [scale] [n_scenes] [n_views]
+e.g. the round-4 released-scale run: python -m experiments.bf16_ab 600 released 20 8
 """
 import dataclasses
 import sys
@@ -65,6 +68,18 @@ def small_config():
     return dataclasses.replace(cfg, model=model, data=data)
 
 
+def released_config():
+    """The full released ScanNet scale (40x40x16 finest volume, embed 256,
+    18 classes, 240x320 images) — only the image pad and GT pad stay
+    data-side knobs."""
+    from sgcdet_tpu.configs.config import get_config
+
+    cfg = get_config("scannet")
+    model = dataclasses.replace(cfg.model, compute_dtype="float32")
+    data = dataclasses.replace(cfg.data, max_boxes=8)
+    return dataclasses.replace(cfg, model=model, data=data)
+
+
 def evaluate(cfg, model, params, batch_stats, scenes):
     import jax
     import jax.numpy as jnp
@@ -92,12 +107,11 @@ def evaluate(cfg, model, params, batch_stats, scenes):
         dt_annos.append(dict(boxes_3d=det, scores_3d=scores, labels_3d=labels))
         gb, gl = scene["_np_gt"]
         gt_annos.append(dict(
-            gt_boxes_upright_depth=gb, class_=gl.astype(np.int64),
-            gt_num=len(gl)))
+            gt_boxes_upright_depth=gb, gt_num=len(gl),
+            **{"class": gl.astype(np.int64)}))
     label2cat = dict(enumerate(cfg.model.classes))
-    return indoor_eval.indoor_eval(
-        gt_annos, dt_annos, [0.25, 0.5], label2cat,
-        box_with_yaw=False)
+    # yaw-less handling is inferred from the 6-dim boxes (with_yaw=False)
+    return indoor_eval.indoor_eval(gt_annos, dt_annos, [0.25, 0.5], label2cat)
 
 
 def main(steps=600):

@@ -37,13 +37,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .dfa3d_pallas import (
+from sgcdet_tpu.ops.dfa3d_pallas import (
     _build_dvec,
     _pick_cam_chunk,
     _pick_qb,
     _sample_quantities,
 )
-from .dfa3d_pallas3 import (
+from sgcdet_tpu.ops.dfa3d_pallas3 import (
     _build_quad_packed,
     _corner_contribs_pq,
     _corner_contribs_q,
@@ -345,13 +345,13 @@ def dfa3d_attention_pallas_w(value_img, dpt_img, sampling_locations,
 # then v2's bulk epilogue runs unchanged.  The backward mirrors it and
 # replaces the scatter loop with dimg[window] += S^T @ U per chunk.
 
-from .dfa3d_pallas2 import (  # noqa: E402  (grouped with their use site)
+from sgcdet_tpu.ops.dfa3d_pallas2 import (  # noqa: E402  (grouped with their use site)
     _bwd_cams_v2,
     _build_quad_image as _build_quad_image_v2,
     _fwd_cams_v2,
     _point_contrib,
 )
-from .dfa3d_pallas3 import _pack2, _unpack_hi, _unpack_lo  # noqa: E402
+from sgcdet_tpu.ops.dfa3d_pallas3 import _pack2, _unpack_hi, _unpack_lo  # noqa: E402
 
 
 def _build_quad_bf16_heads(value_img, dpt_img, heads):

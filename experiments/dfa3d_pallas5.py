@@ -41,8 +41,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .dfa3d_pallas import _pick_cam_chunk, _round_up
-from .dfa3d_pallas2 import (
+from sgcdet_tpu.ops.dfa3d_pallas import _pick_cam_chunk, _round_up
+from sgcdet_tpu.ops.dfa3d_pallas2 import (
     _bwd_cams_v2,
     _dvec,
     _fwd_cams_v2,

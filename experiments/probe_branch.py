@@ -8,7 +8,7 @@ Run on the TPU: python -m experiments.probe_branch
 import jax
 import jax.numpy as jnp
 
-import sgcdet_tpu.ops.dfa3d_pallas4 as p4
+import experiments.dfa3d_pallas4 as p4
 from experiments.bench_kernels import make_case, slope_time
 
 

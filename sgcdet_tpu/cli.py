@@ -263,22 +263,27 @@ def main(argv=None):
 
     if args.visibility_budget is not None:
         if args.visibility_budget == "auto":
-            from .utils.visibility import derive_visibility_budget
+            from .utils.visibility import derive_visibility_budgets
 
             ds = train_ds if train_ds is not None else val_ds
             n_scan = min(len(ds), args.visibility_scan_scenes)
             scan_ids = np.linspace(0, len(ds) - 1, n_scan).astype(int)
-            budget = derive_visibility_budget(
+            budget = derive_visibility_budgets(
                 (ds.scene_poses(int(i)) for i in scan_ids),
                 config.data.img_shape, config.model,
             )
-            print(f"auto visibility budget (exact bound over {n_scan} "
-                  f"scenes): {budget:.3f}", flush=True)
+            print(f"auto per-level visibility budgets (exact bound over "
+                  f"{n_scan} scenes): "
+                  f"{[round(b, 3) for b in budget]}", flush=True)
+            if all(b >= 1.0 for b in budget):
+                budget = None
         else:
             budget = float(args.visibility_budget)
+            if budget >= 1.0:
+                budget = None
         config = dataclasses.replace(
             config, model=dataclasses.replace(
-                config.model, visibility_budget=budget if budget < 1.0 else None
+                config.model, visibility_budget=budget
             )
         )
 

@@ -106,10 +106,13 @@ class ModelConfig:
     num_levels: int = 1
     ffn_dropout: float = 0.1
     attn_dropout: float = 0.0
-    # per-camera visible-query compaction budget (fraction of K; None = off).
-    # Exact vs the dense path when ceil(frac*K) >= max visible voxels per
-    # camera (see DeformCrossAttention.visibility_budget).
-    visibility_budget: float | None = None
+    # per-camera visible-query compaction budget: fraction of K (all levels),
+    # or a per-pyramid-level tuple of fractions (1.0 disables a level), or
+    # None = off.  Exact vs the dense path when ceil(frac*K) >= max visible
+    # voxels per camera at that level (see
+    # DeformCrossAttention.visibility_budget and
+    # utils.visibility.derive_visibility_budgets).
+    visibility_budget: float | Tuple[float, ...] | None = None
     # order compacted per-camera queries by projected image row (an exact
     # permutation) so the DFA3D kernels' gathers are chunk-coherent; off by
     # default — only the experimental windowed kernels benefit

@@ -35,7 +35,10 @@ class AdaptiveSparseVolume(nn.Module):
     num_points: int = 4
     ffn_dropout: float = 0.1
     query_chunk: int | None = 100
-    visibility_budget: float | None = None
+    # scalar fraction (all levels) or per-level tuple (one entry per pyramid
+    # level; 1.0 disables compaction for that level) — see
+    # utils.visibility.derive_visibility_budgets
+    visibility_budget: float | Sequence | None = None
     sort_queries: bool = False
 
     @nn.compact
@@ -65,6 +68,11 @@ class AdaptiveSparseVolume(nn.Module):
                 voxel_centers_zero_origin(nvox, self.voxel_size_list[i])
             )  # (V, 3) static
 
+            vb = self.visibility_budget
+            if isinstance(vb, (list, tuple)):
+                vb = float(vb[i])
+                if vb >= 1.0:
+                    vb = None
             transformer = ViewTransformer(
                 embed_dims=self.embed_dims,
                 num_heads=self.num_heads,
@@ -72,7 +80,7 @@ class AdaptiveSparseVolume(nn.Module):
                 num_levels=1,
                 ffn_dropout=self.ffn_dropout,
                 query_chunk=self.query_chunk,
-                visibility_budget=self.visibility_budget,
+                visibility_budget=vb,
                 sort_queries=self.sort_queries,
                 name=f"base_head{i}",
             )

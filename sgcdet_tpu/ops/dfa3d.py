@@ -16,44 +16,14 @@ import jax.numpy as jnp
 from .dfa3d_fast import dfa3d_attention_fast, msda_2d_fast
 from .dfa3d_pallas import (
     dfa3d_attention_pallas,
-    _fwd_impl as _v1_fwd_impl,
     _vjp_bwd as _vjp_bwd_v1,
 )
-from .dfa3d_pallas2 import dfa3d_attention_pallas_v2, _vjp_bwd_v2
+from .dfa3d_pallas2 import dfa3d_attention_pallas_v2
 from .dfa3d_pallas3 import _fwd_impl_pq
 
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def dfa3d_attention_pallas_mixed(value_img, dpt_img, sampling_locations,
-                                 attention_weights, num_heads):
-    """Best-of-both Pallas DFA3D: v1 pair-row forward + v2 quad-corner
-    backward.  With 8 row copies per gather-loop iteration the v1 forward is
-    the fastest (155 ms vs v2's 168 at the ScanNet L2 stage-2 shape) while
-    the v2 backward remains ~1.4x faster than v1's (experiments/
-    bench_pallas2.py, 2026-08-17).  Both store the same residuals (the raw
-    primal inputs), so the VJP halves compose directly."""
-    out, _ = _v1_fwd_impl(value_img, dpt_img, sampling_locations,
-                          attention_weights, num_heads)
-    return out
-
-
-# defvjp's fwd must return (out, residuals); v1's _fwd_impl already does,
-# and both kernels store the same residuals (the raw primal inputs)
-dfa3d_attention_pallas_mixed.defvjp(_v1_fwd_impl, _vjp_bwd_v2)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def dfa3d_attention_pallas_pq_s2(value_img, dpt_img, sampling_locations,
-                                 attention_weights, num_heads):
-    """Packed-quad bf16 forward (ONE half-width row copy per sample,
-    dfa3d_pallas3) + v2 quad-corner backward.  For bf16 inputs the packing
-    is lossless; the backward recomputes from the exact primals."""
-    out, _ = _fwd_impl_pq(value_img, dpt_img, sampling_locations,
-                          attention_weights, num_heads)
-    return out
-
-
-dfa3d_attention_pallas_pq_s2.defvjp(_fwd_impl_pq, _vjp_bwd_v2)
+# Losing compositions from the on-chip dispatch shootout (v1-fwd+v2-bwd
+# "mixed", packed-quad stage-2 "pq_s2") live in experiments/dfa3d_variants.py
+# — the shipped package carries only dispatched code.
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))

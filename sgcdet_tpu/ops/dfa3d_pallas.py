@@ -19,9 +19,14 @@ Why this shape of kernel (all rates measured on v5e):
 * XLA's ``lax.gather`` moves ~14-25M descriptors/s regardless of row width
   and round-trips every gathered patch through HBM.  Inside Pallas, a
   ``fori_loop`` of single-row dynamic-slice copies out of a VMEM-resident
-  operand sustains ~150M rows/s — and multi-row dynamic slices / bf16 refs /
-  strided sublane reads do NOT lower on this toolchain, which dictates the
-  layout below.
+  operand sustains ~150M rows/s.  Multi-row dynamic-offset READS at
+  arbitrary (data-dependent) row indices and strided sublane reads do NOT
+  lower on this toolchain — each gathered source row is a single-row slice
+  — but multi-row STORES at sublane-ALIGNED dynamic offsets
+  (``pl.multiple_of(i, 8)``) do lower, so the gather loop accumulates 8
+  rows in registers and writes one (8, width) store
+  (experiments/probe_gather_batch.py).  bf16 refs also lower (the
+  packed-quad kernel in dfa3d_pallas3.py relies on that).
 * The camera feature map is stored as **x-pair rows**: row (y, x') holds the
   channels+depth of pixels (y, x'-1) and (y, x') side by side (536 lanes for
   C=256, D=12), with an extra border column so any in-image bilinear footprint

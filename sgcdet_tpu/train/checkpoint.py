@@ -158,15 +158,31 @@ def _convert_unet(params, stats, sd, tp, fp, used):
     _bn(params, stats, f"{fp}/debn11", sd, f"{tp}.conv11.1")
 
 
+class _TrackingDict(dict):
+    """dict that records which keys were actually read (``in`` checks and
+    ``.keys()`` iteration do not count as consumption)."""
+
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        self.accessed: set = set()
+
+    def __getitem__(self, key):
+        self.accessed.add(key)
+        return super().__getitem__(key)
+
+
 def convert_torch_state_dict(state_dict: Mapping[str, Any], params, batch_stats,
-                             n_levels=3, strict=True):
+                             n_levels=3, strict=True, unused_out: set | None = None):
     """Convert a reference SGCDet state dict into (params, batch_stats).
 
     state_dict keys use the reference naming; Lightning checkpoints should be
     pre-filtered with :func:`strip_lightning_prefix`. Returns new trees (the
-    inputs are not mutated).
+    inputs are not mutated).  If ``unused_out`` is a set, it is filled with
+    every state-dict key the conversion never consumed (minus BN
+    ``num_batches_tracked`` counters, which have no flax equivalent) — a
+    non-empty result means a reference weight silently dropped on the floor.
     """
-    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    sd = _TrackingDict({k: np.asarray(v) for k, v in state_dict.items()})
     params = jax.tree_util.tree_map(np.asarray, jax.device_get(params))
     stats = jax.tree_util.tree_map(np.asarray, jax.device_get(batch_stats))
     used: set = set()
@@ -293,6 +309,21 @@ def convert_torch_state_dict(state_dict: Mapping[str, Any], params, batch_stats,
             if key in sd:
                 _set(params, f"bbox_head/scale{i}", np.asarray(sd[key]).reshape(()))
 
+    if unused_out is not None:
+        # non-learned keys with no flax equivalent: BN step counters and the
+        # DenseHead geometry buffers (vox_coords/ref_3d are derived from the
+        # config; DenseHead.py:29-30 registers them into the state dict).
+        # The matching extractor's downsample BN is registered twice in the
+        # reference (as `bn3` AND as `downsample.1`, layer_matching.py:118-127
+        # aliases the same module); the converter consumes the `bn3` alias,
+        # so the `downsample.1` duplicates are expected leftovers.
+        _skip = ("num_batches_tracked", ".vox_coords", ".ref_3d")
+        unused_out.update(
+            k for k in sd
+            if k not in sd.accessed and not k.endswith(_skip)
+            and not (k.startswith("depth_head.fnet_mvs.")
+                     and ".downsample.1." in k)
+        )
     return params, stats
 
 

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..models.detector import SGCDet, compute_losses
 from ..models.layers import set_bn_sync_axis
@@ -109,6 +109,10 @@ def make_train_step(model, config, tx, mesh: Mesh | None = None, axis_name="data
             losses = jax.lax.pmean(losses, axis_name)
             total = jax.lax.pmean(total, axis_name)
             new_stats = jax.lax.pmean(new_stats, axis_name)
+            # report the rank-averaged positive count (the reference's
+            # reduce_mean, imvoxel_head_v2.py:207) — per-device dropout rngs
+            # mean devices can disagree on which selected voxels are valid
+            n_pos = jax.lax.pmean(n_pos, axis_name)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree_util.tree_map(
             lambda p, u: p + u, state.params, updates
@@ -147,7 +151,7 @@ def make_train_step(model, config, tx, mesh: Mesh | None = None, axis_name="data
             mesh=mesh,
             in_specs=(state_spec, batch_spec, state_spec),
             out_specs=(state_spec, state_spec),
-            check_rep=False,
+            check_vma=False,
         )(state, batch, rng)
 
     return step_fn

@@ -60,22 +60,38 @@ def scene_visibility_fractions(origin, projection, img_shape, model_cfg):
     return fracs
 
 
-def derive_visibility_budget(scenes, img_shape, model_cfg, margin=1.05):
-    """Exact visibility budget over an iterable of (origin, projection) pairs.
+def derive_visibility_budgets(scenes, img_shape, model_cfg, margin=1.05):
+    """Exact PER-LEVEL visibility budgets over (origin, projection) pairs.
+
+    Coarse levels see large voxels (most cameras see most of the 10x10x4
+    grid) while the finest level's visible fraction is set by actual frustum
+    coverage — a single scalar budget (the max over levels) therefore
+    over-provisions exactly the level whose stage-2 kernel dominates the
+    lifting cost.  Per-level fractions compact strictly more while staying
+    provably exact (the level-i bound covers every possible top-k subset of
+    level i; see module docstring).
 
     Args:
       scenes: iterable of (origin (3,), projection (N, 3, 4)) numpy pairs —
         e.g. generated from dataset infos, or synthetic trajectories.
       margin: multiplicative safety factor (the compaction rounds the kept
         count up to a multiple of 128 anyway).
-    Returns a float budget fraction (clipped to 1.0); passing it as
+    Returns a tuple of per-level budget fractions (each clipped to 1.0;
+    a level at 1.0 disables compaction for that level); passing it as
     ``model.visibility_budget`` keeps the lifting exact for every scene seen.
     """
-    worst = 0.0
+    worst = [0.0] * len(model_cfg.n_voxels_list)
     for origin, projection, *_ in scenes:
         fracs = scene_visibility_fractions(origin, projection, img_shape, model_cfg)
-        worst = max(worst, max(fracs))
-    return float(min(1.0, worst * margin))
+        worst = [max(w, f) for w, f in zip(worst, fracs)]
+    return tuple(float(min(1.0, w * margin)) for w in worst)
+
+
+def derive_visibility_budget(scenes, img_shape, model_cfg, margin=1.05):
+    """Scalar (max-over-levels) variant of ``derive_visibility_budgets`` —
+    kept for callers that want one fraction for every level."""
+    budgets = derive_visibility_budgets(scenes, img_shape, model_cfg, margin)
+    return max(budgets) if budgets else 1.0
 
 
 def required_sweep_band(proj_feat, n_views, model_cfg, feat_shape):

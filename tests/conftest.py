@@ -32,6 +32,21 @@ if not _USE_TPU:
 
 import pytest
 
+# fast host-side modules (~6 min single-CPU total): `pytest -m quick` is the
+# per-commit gate; the full suite (torch-parity + kernel tests, ~30 min)
+# runs once per round
+_QUICK_MODULES = {
+    "test_nms", "test_indoor_eval", "test_boxes", "test_geometry",
+    "test_golden_mmdet3d", "test_visibility_budget", "test_aux_paths",
+    "test_bilinear_patch", "test_loader_workers", "test_use_depth_false",
+}
+
+
+def pytest_collection_modifyitems(items):
+    for item in items:
+        if item.module.__name__.rsplit(".", 1)[-1] in _QUICK_MODULES:
+            item.add_marker(pytest.mark.quick)
+
 
 @pytest.fixture(autouse=True)
 def _reset_compute_dtype():

@@ -110,7 +110,7 @@ def test_bf16_inputs_close():
 )
 def test_mixed_fwd_and_grads_match_oracle(n, h, w, k, heads, c, p, d):
     """v1-forward + v2-backward composite op used by the stage-2 dispatch."""
-    from sgcdet_tpu.ops.dfa3d import dfa3d_attention_pallas_mixed
+    from experiments.dfa3d_variants import dfa3d_attention_pallas_mixed
 
     value_img, dpt_img, locs, attn = _case(n, h, w, k, heads, c, p, d)
     cos_w = jnp.cos(jnp.arange(n * k * heads * c, dtype=jnp.float32)).reshape(

@@ -69,10 +69,8 @@ def test_pq_mixed_vjp_grads_match_oracle(n, h, w, k, heads, c, p, d):
     """The production wiring pairs the pq forward with the v1/v2 backward
     (ops.dfa3d); the VJP composition must reproduce oracle autodiff grads
     (backward runs from exact f32 primals — full precision)."""
-    from sgcdet_tpu.ops.dfa3d import (
-        dfa3d_attention_pallas_pq_s1,
-        dfa3d_attention_pallas_pq_s2,
-    )
+    from sgcdet_tpu.ops.dfa3d import dfa3d_attention_pallas_pq_s1
+    from experiments.dfa3d_variants import dfa3d_attention_pallas_pq_s2
     from sgcdet_tpu.ops.msda import dfa3d_attention
 
     wrapper = (dfa3d_attention_pallas_pq_s1 if heads * p == 1

@@ -57,11 +57,11 @@ OPS = {}
 
 def _get_op(name):
     if not OPS:
-        from sgcdet_tpu.ops.dfa3d_pallas4 import (
+        from experiments.dfa3d_pallas4 import (
             dfa3d_attention_pallas_w,
             dfa3d_attention_pallas_wh,
         )
-        from sgcdet_tpu.ops.dfa3d_pallas5 import dfa3d_attention_pallas_ws
+        from experiments.dfa3d_pallas5 import dfa3d_attention_pallas_ws
 
         OPS.update(w=dfa3d_attention_pallas_w, wh=dfa3d_attention_pallas_wh,
                    ws=dfa3d_attention_pallas_ws)

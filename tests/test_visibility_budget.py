@@ -142,3 +142,15 @@ def test_auto_budget_sizing_is_exact_at_model_level():
     vol_c, valid_c, occ_c = run(budget if budget < 1.0 else None)
     np.testing.assert_allclose(np.asarray(vol_c), np.asarray(vol_d), atol=2e-5)
     np.testing.assert_array_equal(np.asarray(valid_c), np.asarray(valid_d))
+
+    # per-level budgets (derive_visibility_budgets): tighter than the scalar
+    # max-over-levels bound on at least one level, still exactly dense
+    from sgcdet_tpu.utils.visibility import derive_visibility_budgets
+
+    budgets = derive_visibility_budgets([(origin, proj)], img_shape, mcfg,
+                                        margin=1.0)
+    assert len(budgets) == len(nvox)
+    assert max(budgets) == budget
+    vol_p, valid_p, occ_p = run(tuple(budgets))
+    np.testing.assert_allclose(np.asarray(vol_p), np.asarray(vol_d), atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(valid_p), np.asarray(valid_d))
