@@ -55,14 +55,15 @@ def main(cfg_name="scannet", n_views=40, trajectory="ring", budget=None):
     scene = _example_scene(cfg.data.img_shape, cfg.data.pad_size, n_views,
                            trajectory=trajectory)
     if budget == "auto":
-        from sgcdet_tpu.utils.visibility import derive_visibility_budget
+        from sgcdet_tpu.utils.visibility import derive_visibility_budgets
 
-        budget = derive_visibility_budget(
+        budget = derive_visibility_budgets(
             [(np.asarray(scene["origin"]), np.asarray(scene["proj_img"]))],
             cfg.data.img_shape, cfg.model,
         )
-        print(f"auto visibility budget: {budget:.3f}")
-        if budget >= 1.0:
+        print(f"auto per-level visibility budgets: "
+              f"{[round(b, 3) for b in budget]}")
+        if all(b >= 1.0 for b in budget):
             budget = None
     mcfg = dataclasses.replace(cfg.model, visibility_budget=budget)
     set_compute_dtype(mcfg.compute_dtype)

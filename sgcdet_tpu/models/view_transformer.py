@@ -121,10 +121,14 @@ class MSDeformableAttention3D(nn.Module):
     query_chunk: int | None = 100
 
     @nn.compact
-    def __call__(self, query, value_img, dpt_img, ref_points, spatial_shapes):
+    def __call__(self, query, value_img, dpt_img, ref_points, spatial_shapes,
+                 valid_counts=None):
         """
         query: (N, K, C); value_img: (N, H, W, C); dpt_img: (N, H, W, D)
         ref_points: (N, K, 1, 3) normalized; spatial_shapes: static ((H, W),)
+        valid_counts: optional (N,) per-camera real-query counts (queries
+        packed visible-first) — lets the TPU kernel skip padded blocks whose
+        outputs the caller masks anyway (see ops.dfa3d.dfa3d_attend).
         Returns (N, K, C).
         """
         n, k, c = query.shape
@@ -170,6 +174,7 @@ class MSDeformableAttention3D(nn.Module):
         out = dfa3d_attend(
             v_img, dpt_img, locs[:, :, :, 0], attn[:, :, :, 0],
             num_heads=h, query_chunk=self.query_chunk,
+            valid_counts=valid_counts,
         )
         return out
 
@@ -279,7 +284,14 @@ class DeformCrossAttention(nn.Module):
             self.use_depth and budget is not None
             and ((0 < budget < k) or (self.sort_queries and budget == k))
         )
+        valid_counts = None
         if compact:
+            # per-camera count of REAL (visible) queries in the compacted
+            # order (top_k packs them first): lets the TPU stage-2 kernel
+            # skip whole padded blocks — exact, their outputs are masked by
+            # the fusion below either way (ops.dfa3d.dfa3d_attend)
+            valid_counts = jnp.minimum(
+                mask.sum(axis=1), budget).astype(jnp.float32)
             scores = mask.astype(jnp.float32)
             if self.sort_queries:
                 # fold the predicted quad-row id of the projection center
@@ -312,7 +324,7 @@ class DeformCrossAttention(nn.Module):
             attn1 = jnp.ones((n, kk, 1, 1), jnp.float32)
             queries_per_image = dfa3d_attend(
                 value_img, dpt_img, locs1, attn1, num_heads=1,
-                query_chunk=self.query_chunk,
+                query_chunk=self.query_chunk, valid_counts=valid_counts,
             )  # (N, K', C)
 
             # stage 2 — "context": deformable attention around the projection
@@ -329,6 +341,7 @@ class DeformCrossAttention(nn.Module):
                 dpt_img,
                 ref_cam_s[:, :, None, :],
                 spatial_shapes,
+                valid_counts=valid_counts,
             )
             if compact:
                 queries = jax.vmap(

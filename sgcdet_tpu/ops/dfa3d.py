@@ -18,7 +18,10 @@ from .dfa3d_pallas import (
     dfa3d_attention_pallas,
     _vjp_bwd as _vjp_bwd_v1,
 )
-from .dfa3d_pallas2 import dfa3d_attention_pallas_v2
+from .dfa3d_pallas2 import (
+    dfa3d_attention_pallas_v2,
+    dfa3d_attention_pallas_v2c,
+)
 from .dfa3d_pallas3 import _fwd_impl_pq
 
 # Losing compositions from the on-chip dispatch shootout (v1-fwd+v2-bwd
@@ -60,8 +63,18 @@ def pallas_available() -> bool:
 
 
 def dfa3d_attend(value_img, dpt_img, sampling_locations, attention_weights,
-                 num_heads, query_chunk=None):
+                 num_heads, query_chunk=None, valid_counts=None):
     """Fused depth-weighted deformable attention; see dfa3d_fast for shapes.
+
+    valid_counts: optional (N,) per-camera count of real queries, packed
+    first along the query axis (the visibility-budget compaction's order).
+    On TPU the multi-head kernel SKIPS whole query blocks past a camera's
+    count (returning zeros there) — exact whenever the caller masks those
+    positions downstream, with gather work scaling with the ACTUAL
+    visibility instead of the padded budget.  Off-TPU (and on the stage-1
+    single-head path) the hint is ignored: those backends compute real
+    values for the padded region, which the same downstream masking
+    discards, so results are identical either way.
 
     Kernel choice (measured on v5e, experiments/bench_kernels.py 2026-08-18;
     random and post-sort-coherent sampling locations time identically — the
@@ -81,6 +94,11 @@ def dfa3d_attend(value_img, dpt_img, sampling_locations, attention_weights,
         bf16_in = (value_img.dtype == jnp.bfloat16
                    and dpt_img.dtype == jnp.bfloat16)
         if heads_p > 1:
+            if valid_counts is not None:
+                return dfa3d_attention_pallas_v2c(
+                    value_img, dpt_img, sampling_locations,
+                    attention_weights,
+                    valid_counts.astype(jnp.float32), num_heads)
             return dfa3d_attention_pallas_v2(
                 value_img, dpt_img, sampling_locations, attention_weights,
                 num_heads)

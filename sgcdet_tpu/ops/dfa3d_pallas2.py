@@ -233,63 +233,93 @@ def _point_contrib(s, winfo, c, d_size, qb):
     return contrib, dvec, ds_list, vals
 
 
-def _fwd_kernel_v2(rows_ref, winfo_ref, img_ref, out_ref, *scs, c, p, qb, d_size):
-    _gather_loop_v2(rows_ref, img_ref, scs, qb)
-    acc = None
-    for j in range(p):
-        winfo = winfo_ref[j * qb:(j + 1) * qb, :]
-        contrib, _, _, _ = _point_contrib(scs[j][:], winfo, c, d_size, qb)
-        acc = contrib if acc is None else acc + contrib
-    out_ref[:] = acc
+def _fwd_kernel_v2(counts_ref, rows_ref, winfo_ref, img_ref, out_ref, *scs,
+                   c, p, qb, d_size, heads):
+    # data-dependent block skip: the budget compaction packs each camera's
+    # visible queries FIRST, so a whole query block past the camera's actual
+    # visible count contributes nothing downstream (its outputs are masked
+    # by the inter-view fusion) — skip its gathers entirely and write zeros.
+    # This is the TPU-native analog of the reference's dynamic rebatching
+    # (deformable_cross_attention.py:759-783): static padded shapes, compute
+    # scaling with the ACTUAL per-camera visibility.
+    cam = pl.program_id(0) // heads
+    active = pl.program_id(1) * qb < counts_ref[0, cam]
+
+    @pl.when(active)
+    def _():
+        _gather_loop_v2(rows_ref, img_ref, scs, qb)
+        acc = None
+        for j in range(p):
+            winfo = winfo_ref[j * qb:(j + 1) * qb, :]
+            contrib, _, _, _ = _point_contrib(scs[j][:], winfo, c, d_size, qb)
+            acc = contrib if acc is None else acc + contrib
+        out_ref[:] = acc
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
 
 
-def _bwd_kernel_v2(rows_ref, winfo_ref, g_ref, img_ref, dimg_ref, dw4_ref,
-                   ddvec_ref, *scratch, c, p, qb, d_size):
+def _bwd_kernel_v2(counts_ref, rows_ref, winfo_ref, g_ref, img_ref, dimg_ref,
+                   dw4_ref, ddvec_ref, *scratch, c, p, qb, d_size, heads):
     scs, us = scratch[:p], scratch[p:]
 
     @pl.when(pl.program_id(1) == 0)
     def _():
         dimg_ref[:] = jnp.zeros_like(dimg_ref)
 
-    _gather_loop_v2(rows_ref, img_ref, scs, qb)
-    g = g_ref[:]  # (qb, c)
-    for j in range(p):
-        s = scs[j][:]
-        winfo = winfo_ref[j * qb:(j + 1) * qb, :]
-        _, dvec, ds_list, vals = _point_contrib(s, winfo, c, d_size, qb)
-        t_list = [jnp.sum(v * g, axis=1, keepdims=True) for v in vals]
-        dw4_ref[j * qb:(j + 1) * qb, :] = jnp.concatenate(
-            [ds_list[i] * t_list[i] for i in range(4)], axis=1
-        )
-        ddvec = None
-        for i in range(4):
-            dj = s[:, 4 * c + i * d_size: 4 * c + (i + 1) * d_size]
-            term = (winfo[:, i:i + 1] * t_list[i]) * dj
-            ddvec = term if ddvec is None else ddvec + term
-        ddvec_ref[j * qb:(j + 1) * qb, :] = ddvec
-        us[j][:] = jnp.concatenate(
-            [(winfo[:, i:i + 1] * ds_list[i]) * g for i in range(4)]
-            + [(winfo[:, i:i + 1] * t_list[i]) * dvec for i in range(4)],
-            axis=1,
-        )
+    # skipped blocks: visible-first packing + masked fusion means the
+    # incoming grad g is exactly zero there, so every product below — and
+    # the dimg scatter-adds — would be zero anyway (see _fwd_kernel_v2)
+    cam = pl.program_id(0) // heads
+    active = pl.program_id(1) * qb < counts_ref[0, cam]
 
-    seg = qb // 128
+    @pl.when(jnp.logical_not(active))
+    def _():
+        dw4_ref[:] = jnp.zeros_like(dw4_ref)
+        ddvec_ref[:] = jnp.zeros_like(ddvec_ref)
 
-    def outer(j, _):
-        base = j * 128
+    @pl.when(active)
+    def _():
+        _gather_loop_v2(rows_ref, img_ref, scs, qb)
+        g = g_ref[:]  # (qb, c)
+        for j in range(p):
+            s = scs[j][:]
+            winfo = winfo_ref[j * qb:(j + 1) * qb, :]
+            _, dvec, ds_list, vals = _point_contrib(s, winfo, c, d_size, qb)
+            t_list = [jnp.sum(v * g, axis=1, keepdims=True) for v in vals]
+            dw4_ref[j * qb:(j + 1) * qb, :] = jnp.concatenate(
+                [ds_list[i] * t_list[i] for i in range(4)], axis=1
+            )
+            ddvec = None
+            for i in range(4):
+                dj = s[:, 4 * c + i * d_size: 4 * c + (i + 1) * d_size]
+                term = (winfo[:, i:i + 1] * t_list[i]) * dj
+                ddvec = term if ddvec is None else ddvec + term
+            ddvec_ref[j * qb:(j + 1) * qb, :] = ddvec
+            us[j][:] = jnp.concatenate(
+                [(winfo[:, i:i + 1] * ds_list[i]) * g for i in range(4)]
+                + [(winfo[:, i:i + 1] * t_list[i]) * dvec for i in range(4)],
+                axis=1,
+            )
 
-        def inner(l, _):
-            i = base + l * 2
-            for t in range(2):
-                for pt in range(p):
-                    dimg_ref[pl.ds(rows_ref[pt * seg + j, l * 2 + t], 1), :] += \
-                        us[pt][pl.ds(i + t, 1), :]
+        seg = qb // 128
+
+        def outer(j, _):
+            base = j * 128
+
+            def inner(l, _):
+                i = base + l * 2
+                for t in range(2):
+                    for pt in range(p):
+                        dimg_ref[pl.ds(rows_ref[pt * seg + j, l * 2 + t], 1), :] += \
+                            us[pt][pl.ds(i + t, 1), :]
+                return 0
+
+            jax.lax.fori_loop(0, 64, inner, 0, unroll=False)
             return 0
 
-        jax.lax.fori_loop(0, 64, inner, 0, unroll=False)
-        return 0
-
-    jax.lax.fori_loop(0, seg, outer, 0, unroll=False)
+        jax.lax.fori_loop(0, seg, outer, 0, unroll=False)
 
 
 # ---------------------------------------------------------------------------
@@ -325,15 +355,27 @@ def _pick_qb_v2(k, p, target=12288, bwd=False):
     return best[1]
 
 
-def _run_fwd_v2(quad, rows, winfo, heads, c, p, qb, d_size):
+def _counts_smem(counts, n, heads, kpad):
+    """(1, N) int32 per-camera visible-query counts for the kernels' block
+    skip; None -> kpad everywhere (every block active)."""
+    if counts is None:
+        return jnp.full((1, n), kpad, jnp.int32)
+    return jnp.asarray(counts, jnp.int32).reshape(1, n)
+
+
+def _run_fwd_v2(quad, rows, winfo, heads, c, p, qb, d_size, counts_sm):
     nh, nblk, m = rows.shape
     rq = quad.shape[1]
     width = 4 * (c + d_size)
+    n_cams = counts_sm.shape[1]
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel_v2, c=c, p=p, qb=qb, d_size=d_size),
+        functools.partial(_fwd_kernel_v2, c=c, p=p, qb=qb, d_size=d_size,
+                          heads=heads),
         grid=(nh, nblk),
         out_shape=jax.ShapeDtypeStruct((nh * nblk * qb, c), jnp.float32),
         in_specs=[
+            pl.BlockSpec((1, n_cams), lambda ci, bi: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((m // 128, 128), lambda ci, bi: (ci * nblk + bi, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((m, 8), lambda ci, bi: (ci * nblk + bi, 0),
@@ -348,6 +390,7 @@ def _run_fwd_v2(quad, rows, winfo, heads, c, p, qb, d_size):
             vmem_limit_bytes=118 * 1024 * 1024,
         ),
     )(
+        counts_sm,
         rows.reshape(-1, 128),
         winfo.reshape(nh * nblk * m, 8),
         quad.reshape(nh * rq, width),
@@ -355,12 +398,14 @@ def _run_fwd_v2(quad, rows, winfo, heads, c, p, qb, d_size):
     return out  # (nh*nblk*qb, c)
 
 
-def _run_bwd_v2(quad, rows, winfo, g, heads, c, p, qb, d_size):
+def _run_bwd_v2(quad, rows, winfo, g, heads, c, p, qb, d_size, counts_sm):
     nh, nblk, m = rows.shape
     rq = quad.shape[1]
     width = 4 * (c + d_size)
+    n_cams = counts_sm.shape[1]
     dquad, dw4, ddvec = pl.pallas_call(
-        functools.partial(_bwd_kernel_v2, c=c, p=p, qb=qb, d_size=d_size),
+        functools.partial(_bwd_kernel_v2, c=c, p=p, qb=qb, d_size=d_size,
+                          heads=heads),
         grid=(nh, nblk),
         out_shape=(
             jax.ShapeDtypeStruct((nh * rq, width), jnp.float32),
@@ -368,6 +413,8 @@ def _run_bwd_v2(quad, rows, winfo, g, heads, c, p, qb, d_size):
             jax.ShapeDtypeStruct((nh * nblk * m, d_size), jnp.float32),
         ),
         in_specs=[
+            pl.BlockSpec((1, n_cams), lambda ci, bi: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((m // 128, 128), lambda ci, bi: (ci * nblk + bi, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((m, 8), lambda ci, bi: (ci * nblk + bi, 0),
@@ -393,6 +440,7 @@ def _run_bwd_v2(quad, rows, winfo, g, heads, c, p, qb, d_size):
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
     )(
+        counts_sm,
         rows.reshape(-1, 128),
         winfo.reshape(nh * nblk * m, 8),
         g,
@@ -425,37 +473,40 @@ def dfa3d_attention_pallas_v2(value_img, dpt_img, sampling_locations,
 
 
 def _fwd_impl_v2(value_img, dpt_img, sampling_locations, attention_weights,
-                 num_heads):
+                 num_heads, counts=None):
     n, k = sampling_locations.shape[:2]
     hp = sampling_locations.shape[2] * sampling_locations.shape[3]
     chunk = _pick_cam_chunk(n, k * hp)
     if chunk == n:
         out = _fwd_cams_v2(value_img, dpt_img, sampling_locations,
-                           attention_weights, num_heads)
+                           attention_weights, num_heads, counts=counts)
     else:
         groups = n // chunk
 
         def body(args):
-            return _fwd_cams_v2(*args, num_heads)
+            return _fwd_cams_v2(*args[:4], num_heads,
+                                counts=(args[4] if len(args) > 4 else None))
 
+        xs = [value_img, dpt_img, sampling_locations, attention_weights]
+        if counts is not None:
+            xs.append(counts)
         out = jax.lax.map(
             body,
-            tuple(
-                x.reshape((groups, chunk) + x.shape[1:])
-                for x in (value_img, dpt_img, sampling_locations,
-                          attention_weights)
-            ),
+            tuple(x.reshape((groups, chunk) + x.shape[1:]) for x in xs),
         )
         out = out.reshape((n,) + out.shape[2:])
     return out, (value_img, dpt_img, sampling_locations, attention_weights)
 
 
 def _fwd_cams_v2(value_img, dpt_img, sampling_locations, attention_weights,
-                 num_heads, runner=None, pick_qb=None):
+                 num_heads, runner=None, pick_qb=None, counts=None):
     """runner(value_img, dpt_img, heads, rows, winfo, c, p, qb, d_size, h, w)
     -> (nh*nblk*qb, c) f32 replaces the default quad-build + _run_fwd_v2
     (used by the windowed kernels, dfa3d_pallas4/5); pick_qb(k, p) overrides
-    the query-block sizing for runners with different constraints."""
+    the query-block sizing for runners with different constraints.
+    counts: optional (N,) per-camera visible-query counts — blocks past a
+    camera's count are skipped and return ZEROS (exact whenever downstream
+    masks those queries, as the budget compaction's fusion does)."""
     n, h, w, cfull = value_img.shape
     d_size = dpt_img.shape[-1]
     k = sampling_locations.shape[1]
@@ -469,7 +520,8 @@ def _fwd_cams_v2(value_img, dpt_img, sampling_locations, attention_weights,
     )
     if runner is None:
         quad = _build_quad_image(value_img, dpt_img, heads)
-        out = _run_fwd_v2(quad, rows, winfo, heads, c, p, qb, d_size)
+        out = _run_fwd_v2(quad, rows, winfo, heads, c, p, qb, d_size,
+                          _counts_smem(counts, n, heads, kpad))
     else:
         out = runner(value_img, dpt_img, heads, rows, winfo, c, p, qb,
                      d_size, h, w)
@@ -484,32 +536,39 @@ def _vjp_fwd_v2(value_img, dpt_img, sampling_locations, attention_weights,
                         attention_weights, num_heads)
 
 
-def _vjp_bwd_v2(num_heads, res, g):
-    value_img, dpt_img, sampling_locations, attention_weights = res
+def _bwd_impl_v2(value_img, dpt_img, sampling_locations, attention_weights,
+                 g, num_heads, counts=None):
     n, k = sampling_locations.shape[:2]
     hp = sampling_locations.shape[2] * sampling_locations.shape[3]
     chunk = _pick_cam_chunk(n, k * hp)
     if chunk == n:
         return _bwd_cams_v2(value_img, dpt_img, sampling_locations,
-                            attention_weights, g, num_heads)
+                            attention_weights, g, num_heads, counts=counts)
     groups = n // chunk
 
     def body(args):
-        return _bwd_cams_v2(*args[:4], args[4], num_heads)
+        return _bwd_cams_v2(*args[:4], args[4], num_heads,
+                            counts=(args[5] if len(args) > 5 else None))
 
+    xs = [value_img, dpt_img, sampling_locations, attention_weights, g]
+    if counts is not None:
+        xs.append(counts)
     grads = jax.lax.map(
         body,
-        tuple(
-            x.reshape((groups, chunk) + x.shape[1:])
-            for x in (value_img, dpt_img, sampling_locations,
-                      attention_weights, g)
-        ),
+        tuple(x.reshape((groups, chunk) + x.shape[1:]) for x in xs),
     )
     return tuple(x.reshape((n,) + x.shape[2:]) for x in grads)
 
 
+def _vjp_bwd_v2(num_heads, res, g):
+    value_img, dpt_img, sampling_locations, attention_weights = res
+    return _bwd_impl_v2(value_img, dpt_img, sampling_locations,
+                        attention_weights, g, num_heads)
+
+
 def _bwd_cams_v2(value_img, dpt_img, sampling_locations, attention_weights, g,
-                 num_heads, runner=None, pick_qb=None, direct_grads=False):
+                 num_heads, runner=None, pick_qb=None, direct_grads=False,
+                 counts=None):
     """runner(value_img, dpt_img, heads, rows, winfo, g_flat, c, p, qb,
     d_size, h, w) -> (dquad (nh, rq, width), dw4_flat, ddvec_flat) replaces
     the default quad-build + _run_bwd_v2 (windowed kernel, dfa3d_pallas4).
@@ -539,7 +598,8 @@ def _bwd_cams_v2(value_img, dpt_img, sampling_locations, attention_weights, g,
     if runner is None:
         quad = _build_quad_image(value_img, dpt_img, heads)
         dquad, dw4_flat, ddvec_flat = _run_bwd_v2(
-            quad, rows, winfo, g_flat, heads, c, p, qb, d_size
+            quad, rows, winfo, g_flat, heads, c, p, qb, d_size,
+            _counts_smem(counts, n, heads, kpad),
         )
     else:
         dquad, dw4_flat, ddvec_flat = runner(
@@ -621,3 +681,37 @@ def _bwd_cams_v2(value_img, dpt_img, sampling_locations, attention_weights, g,
 
 
 dfa3d_attention_pallas_v2.defvjp(_vjp_fwd_v2, _vjp_bwd_v2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def dfa3d_attention_pallas_v2c(value_img, dpt_img, sampling_locations,
+                               attention_weights, valid_counts, num_heads):
+    """v2 kernel with per-camera visible-count block skipping.
+
+    valid_counts: (N,) float32 — per-camera count of real (visible) queries,
+    packed FIRST along the query axis (the budget compaction's top_k order).
+    Query positions >= valid_counts[cam] return ZEROS and produce zero
+    loc/attn gradients: exact whenever the caller masks those positions
+    downstream (the inter-view fusion does), while the kernel's gather work
+    scales with the ACTUAL visibility instead of the padded budget."""
+    out, _ = _fwd_impl_v2c(value_img, dpt_img, sampling_locations,
+                           attention_weights, valid_counts, num_heads)
+    return out
+
+
+def _fwd_impl_v2c(value_img, dpt_img, sampling_locations, attention_weights,
+                  valid_counts, num_heads):
+    out, _ = _fwd_impl_v2(value_img, dpt_img, sampling_locations,
+                          attention_weights, num_heads, counts=valid_counts)
+    return out, (value_img, dpt_img, sampling_locations, attention_weights,
+                 valid_counts)
+
+
+def _vjp_bwd_v2c(num_heads, res, g):
+    value_img, dpt_img, locs, attn, valid_counts = res
+    grads = _bwd_impl_v2(value_img, dpt_img, locs, attn, g, num_heads,
+                         counts=valid_counts)
+    return grads + (jnp.zeros_like(valid_counts),)
+
+
+dfa3d_attention_pallas_v2c.defvjp(_fwd_impl_v2c, _vjp_bwd_v2c)

@@ -70,6 +70,65 @@ def test_v2_grads_match_oracle(n, h, w, k, heads, c, p, d):
         assert float(jnp.abs(a - b).max()) < 5e-4 * scale, name
 
 
+@pytest.mark.parametrize(
+    "n,h,w,k,heads,c,p,d",
+    [
+        (2, 8, 10, 384, 2, 8, 2, 5),      # multiple query blocks per camera
+        (2, 30, 40, 4608, 8, 32, 4, 12),  # budgeted stage-2 shape
+    ],
+)
+def test_v2_counted_matches_oracle_on_valid_region(n, h, w, k, heads, c, p, d):
+    """Block-skip op: first counts[cam] queries exact vs oracle, zeros after,
+    and grads match oracle when the cotangent is masked the way the fusion
+    masks (zero past counts) — the exactness contract of the model wiring."""
+    from sgcdet_tpu.ops.dfa3d_pallas2 import (
+        dfa3d_attention_pallas_v2,
+        dfa3d_attention_pallas_v2c,
+    )
+
+    value_img, dpt_img, locs, attn = _case(n, h, w, k, heads, c, p, d)
+    counts = jnp.asarray([k // 3, k], jnp.float32)[:n]
+    ref, _ = dfa3d_attention(
+        value_img.reshape(n, h * w, heads, c),
+        dpt_img.reshape(n, h * w, d),
+        ((h, w),),
+        locs[:, :, :, None],
+        attn[:, :, :, None],
+    )
+    out = dfa3d_attention_pallas_v2c(value_img, dpt_img, locs, attn, counts,
+                                     heads)
+    qmask = (jnp.arange(k)[None, :] < counts[:, None]).astype(jnp.float32)
+    scale = max(float(jnp.abs(ref).max()), 1.0)
+    assert float((jnp.abs(out - ref) * qmask[..., None]).max()) < 2e-5 * scale
+
+    cos_w = jnp.cos(jnp.arange(n * k * heads * c, dtype=jnp.float32)).reshape(
+        n, k, heads * c
+    ) * qmask[..., None]  # masked cotangent, like the fusion's
+
+    def loss_ref(vi, di, lo, at):
+        o, _ = dfa3d_attention(
+            vi.reshape(n, h * w, heads, c), di.reshape(n, h * w, d),
+            ((h, w),), lo[:, :, :, None], at[:, :, :, None],
+        )
+        return jnp.sum(o * cos_w)
+
+    def loss_cnt(vi, di, lo, at):
+        return jnp.sum(
+            dfa3d_attention_pallas_v2c(vi, di, lo, at, counts, heads) * cos_w)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(value_img, dpt_img, locs, attn)
+    gc = jax.grad(loss_cnt, argnums=(0, 1, 2, 3))(value_img, dpt_img, locs, attn)
+    for name, a, b in zip(["d_value", "d_dpt", "d_locs", "d_attn"], gr, gc):
+        s = max(float(jnp.abs(a).max()), 1.0)
+        assert float(jnp.abs(a - b).max()) < 5e-4 * s, name
+
+    # full counts == the uncounted op, everywhere
+    full = dfa3d_attention_pallas_v2(value_img, dpt_img, locs, attn, heads)
+    out_full = dfa3d_attention_pallas_v2c(
+        value_img, dpt_img, locs, attn, jnp.full((n,), k, jnp.float32), heads)
+    assert float(jnp.abs(out_full - full).max()) == 0.0
+
+
 def test_v2_bf16_inputs_close():
     from sgcdet_tpu.ops.dfa3d_pallas2 import dfa3d_attention_pallas_v2
 
