@@ -62,7 +62,10 @@ def small_config():
 
     cfg = get_config("scannet")
     model = dataclasses.replace(
-        cfg.model, n_voxels=(20, 20, 8), compute_dtype="float32")
+        cfg.model,
+        n_voxels_list=((5, 5, 2), (10, 10, 4), (20, 20, 8)),
+        topk_list=(200, 1600),
+        compute_dtype="float32")
     data = dataclasses.replace(cfg.data, img_shape=(120, 160),
                                pad_size=(120, 160), max_boxes=8)
     return dataclasses.replace(cfg, model=model, data=data)
@@ -111,10 +114,12 @@ def evaluate(cfg, model, params, batch_stats, scenes):
             **{"class": gl.astype(np.int64)}))
     label2cat = dict(enumerate(cfg.model.classes))
     # yaw-less handling is inferred from the 6-dim boxes (with_yaw=False)
-    return indoor_eval.indoor_eval(gt_annos, dt_annos, [0.25, 0.5], label2cat)
+    metrics = indoor_eval.indoor_eval(gt_annos, dt_annos, [0.25, 0.5],
+                                      label2cat)
+    return metrics, dt_annos
 
 
-def main(steps=600):
+def main(steps=600, scale="small", n_scenes=3, n_views=8):
     import jax
     import jax.numpy as jnp
     import optax
@@ -123,9 +128,10 @@ def main(steps=600):
     from sgcdet_tpu.models.layers import set_compute_dtype
     from sgcdet_tpu.train.loop import TrainState, make_train_step
 
-    cfg = small_config()
+    cfg = released_config() if scale == "released" else small_config()
     rng = np.random.RandomState(0)
-    scenes = [synth_scene(cfg, n_views=8, rng=rng) for _ in range(3)]
+    scenes = [synth_scene(cfg, n_views=n_views, rng=rng)
+              for _ in range(n_scenes)]
 
     set_compute_dtype("float32")
     model = SGCDet(cfg=cfg.model, img_shape=cfg.data.img_shape,
@@ -145,28 +151,48 @@ def main(steps=600):
     key = jax.random.PRNGKey(1)
     for i in range(steps):
         key, k = jax.random.split(key)
-        scene = {k2: v for k2, v in scenes[i % len(scenes)].items()
+        # the mesh-less train step strips a leading batch axis (bs=1)
+        batch = {k2: v[None] for k2, v in scenes[i % len(scenes)].items()
                  if not k2.startswith("_")}
-        state, metrics = step_fn(state, scene, k)
+        state, metrics = step_fn(state, batch, k)
         if i % 50 == 0 or i == steps - 1:
             print(f"step {i}: " + " ".join(
                 f"{k2}={float(v):.3f}" for k2, v in metrics.items()),
                 flush=True)
 
-    results = {}
+    results, dets = {}, {}
     for dtype in ("float32", "bfloat16"):
         set_compute_dtype(dtype)
         mcfg = dataclasses.replace(cfg.model, compute_dtype=dtype)
         m = SGCDet(cfg=mcfg, img_shape=cfg.data.img_shape, query_chunk=100)
         cfg_d = dataclasses.replace(cfg, model=mcfg)
         jax.clear_caches()
-        results[dtype] = evaluate(cfg_d, m, state.params, state.batch_stats,
-                                  scenes)
+        results[dtype], dets[dtype] = evaluate(
+            cfg_d, m, state.params, state.batch_stats, scenes)
         print(f"[{dtype}] " + " ".join(
             f"{k}={v:.4f}" for k, v in results[dtype].items()
             if isinstance(v, float)), flush=True)
 
-    print("\n| metric | float32 | bfloat16 | delta |")
+    # decoded-box / score drift per scene (same weights, dtype-only delta);
+    # box counts can differ when a score crosses the decode threshold, so
+    # compare the common prefix and report the count delta too
+    drift_b = drift_s = 0.0
+    n_delta = 0
+    for da, db in zip(dets["float32"], dets["bfloat16"]):
+        ba, bb = np.asarray(da["boxes_3d"].tensor), np.asarray(
+            db["boxes_3d"].tensor)
+        m0 = min(len(ba), len(bb))
+        n_delta = max(n_delta, abs(len(ba) - len(bb)))
+        if m0:
+            drift_b = max(drift_b, float(np.abs(ba[:m0] - bb[:m0]).max()))
+            sa = np.asarray(da["scores_3d"])[:m0]
+            sb = np.asarray(db["scores_3d"])[:m0]
+            drift_s = max(drift_s, float(np.abs(sa - sb).max()))
+    print(f"\nmax decoded-box drift {drift_b:.4g}, max score drift "
+          f"{drift_s:.4g}, max det-count delta {n_delta}")
+
+    print(f"\n| metric ({scale}, {n_scenes} scenes, {n_views} views) "
+          f"| float32 | bfloat16 | delta |")
     print("|---|---|---|---|")
     keys = [k for k, v in results["float32"].items() if isinstance(v, float)]
     for k in keys:
@@ -175,4 +201,7 @@ def main(steps=600):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 600)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 600,
+         sys.argv[2] if len(sys.argv) > 2 else "small",
+         int(sys.argv[3]) if len(sys.argv) > 3 else 3,
+         int(sys.argv[4]) if len(sys.argv) > 4 else 8)

@@ -16,6 +16,8 @@ import jax.numpy as jnp
 from .dfa3d_fast import dfa3d_attention_fast, msda_2d_fast
 from .dfa3d_pallas import (
     dfa3d_attention_pallas,
+    dfa3d_attention_pallas_c,
+    _bwd_impl as _bwd_impl_v1,
     _vjp_bwd as _vjp_bwd_v1,
 )
 from .dfa3d_pallas2 import (
@@ -40,6 +42,35 @@ def dfa3d_attention_pallas_pq_s1(value_img, dpt_img, sampling_locations,
 
 
 dfa3d_attention_pallas_pq_s1.defvjp(_fwd_impl_pq, _vjp_bwd_v1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def dfa3d_attention_pallas_pq_s1c(value_img, dpt_img, sampling_locations,
+                                  attention_weights, valid_counts, num_heads):
+    """Counted pq_s1: packed-quad bf16 forward + v1 backward, both skipping
+    whole query blocks past valid_counts[cam] (see
+    dfa3d_pallas2.dfa3d_attention_pallas_v2c for the exactness contract)."""
+    out, _ = _pq_s1c_fwd(value_img, dpt_img, sampling_locations,
+                         attention_weights, valid_counts, num_heads)
+    return out
+
+
+def _pq_s1c_fwd(value_img, dpt_img, sampling_locations, attention_weights,
+                valid_counts, num_heads):
+    out, _ = _fwd_impl_pq(value_img, dpt_img, sampling_locations,
+                          attention_weights, num_heads, counts=valid_counts)
+    return out, (value_img, dpt_img, sampling_locations, attention_weights,
+                 valid_counts)
+
+
+def _pq_s1c_bwd(num_heads, res, g):
+    value_img, dpt_img, locs, attn, valid_counts = res
+    grads = _bwd_impl_v1(value_img, dpt_img, locs, attn, g, num_heads,
+                         counts=valid_counts)
+    return grads + (jnp.zeros_like(valid_counts),)
+
+
+dfa3d_attention_pallas_pq_s1c.defvjp(_pq_s1c_fwd, _pq_s1c_bwd)
 
 # None = auto-detect; True/False force the Pallas kernel on/off (tests, bench)
 _FORCE_PALLAS: bool | None = None
@@ -68,13 +99,13 @@ def dfa3d_attend(value_img, dpt_img, sampling_locations, attention_weights,
 
     valid_counts: optional (N,) per-camera count of real queries, packed
     first along the query axis (the visibility-budget compaction's order).
-    On TPU the multi-head kernel SKIPS whole query blocks past a camera's
-    count (returning zeros there) — exact whenever the caller masks those
-    positions downstream, with gather work scaling with the ACTUAL
-    visibility instead of the padded budget.  Off-TPU (and on the stage-1
-    single-head path) the hint is ignored: those backends compute real
-    values for the padded region, which the same downstream masking
-    discards, so results are identical either way.
+    On TPU every kernel (stage-1 and stage-2) SKIPS whole query blocks past
+    a camera's count (returning zeros there) — exact whenever the caller
+    masks those positions downstream, with gather work scaling with the
+    ACTUAL visibility instead of the padded budget.  Off-TPU the hint is
+    ignored: that backend computes real values for the padded region, which
+    the same downstream masking discards, so results are identical either
+    way.
 
     Kernel choice (measured on v5e, experiments/bench_kernels.py 2026-08-18;
     random and post-sort-coherent sampling locations time identically — the
@@ -105,6 +136,12 @@ def dfa3d_attend(value_img, dpt_img, sampling_locations, attention_weights,
         # single-head stage-1 (full-C rows): packed-quad when lossless;
         # v1 pair-row otherwise (the unpacked quad layout's 4x(c+D)-lane
         # rows exceed VMEM at c=256)
+        if valid_counts is not None:
+            op_c = (dfa3d_attention_pallas_pq_s1c if bf16_in
+                    else dfa3d_attention_pallas_c)
+            return op_c(value_img, dpt_img, sampling_locations,
+                        attention_weights,
+                        valid_counts.astype(jnp.float32), num_heads)
         op = (dfa3d_attention_pallas_pq_s1 if bf16_in
               else dfa3d_attention_pallas)
         return op(value_img, dpt_img, sampling_locations, attention_weights,

@@ -245,8 +245,16 @@ def _corner_contribs(s0, s1, w4, dvec, cfull, d_size):
     return contrib, ds_all, vals
 
 
-def _fwd_kernel(rows_ref, winfo_ref, img_ref, out_ref, sc0, sc1, rsel_sc,
-                hmask_sc, *, heads, c, p, qb, cd):
+def _counts_smem(counts, n, heads, kpad):
+    """(1, N) int32 per-camera visible-query counts for the kernels' block
+    skip (see _fwd_kernel_s1); None -> kpad everywhere (every block active)."""
+    if counts is None:
+        return jnp.full((1, n), kpad, jnp.int32)
+    return jnp.asarray(counts, jnp.int32).reshape(1, n)
+
+
+def _fwd_kernel(counts_ref, rows_ref, winfo_ref, img_ref, out_ref, sc0, sc1,
+                rsel_sc, hmask_sc, *, heads, c, p, qb, cd):
     m = sc0.shape[0]
     cfull = heads * c
     d_size = cd - cfull
@@ -254,6 +262,7 @@ def _fwd_kernel(rows_ref, winfo_ref, img_ref, out_ref, sc0, sc1, rsel_sc,
 
     # selection/head-mask matrices are invariant across the grid; build them
     # once into persistent scratch instead of re-deriving iotas every step
+    # (unconditionally at step (0, 0) — it may be a skipped block)
     @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
     def _():
         hm_row = jax.lax.broadcasted_iota(jnp.int32, (m, cfull), 0) // qbp
@@ -263,27 +272,52 @@ def _fwd_kernel(rows_ref, winfo_ref, img_ref, out_ref, sc0, sc1, rsel_sc,
         r_col = jax.lax.broadcasted_iota(jnp.int32, (qb, m), 1)
         rsel_sc[:] = ((r_col % qbp) // p == r_row).astype(jnp.float32)
 
-    _gather_loop(rows_ref, img_ref, sc0, sc1, m)
-    winfo = winfo_ref[:]
-    dvec = _build_dvec(winfo, m, d_size)
-    contrib, _, _ = _corner_contribs(sc0[:], sc1[:], winfo, dvec, cfull, d_size)
+    active = pl.program_id(1) * qb < counts_ref[0, pl.program_id(0)]
 
-    # mask each sample row to its own head block, then reduce all
-    # (head, query, point) rows of a query with ONE selection matmul (MXU)
-    contrib = contrib * hmask_sc[:]
-    out_ref[:] = jnp.dot(rsel_sc[:], contrib, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
+    @pl.when(active)
+    def _():
+        _gather_loop(rows_ref, img_ref, sc0, sc1, m)
+        winfo = winfo_ref[:]
+        dvec = _build_dvec(winfo, m, d_size)
+        contrib, _, _ = _corner_contribs(sc0[:], sc1[:], winfo, dvec, cfull,
+                                         d_size)
+
+        # mask each sample row to its own head block, then reduce all
+        # (head, query, point) rows of a query with ONE selection matmul (MXU)
+        contrib = contrib * hmask_sc[:]
+        out_ref[:] = jnp.dot(rsel_sc[:], contrib,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
 
 
-def _fwd_kernel_s1(rows_ref, winfo_ref, img_ref, out_ref, sc0, sc1, *, cfull, cd):
-    """Stage-1 (heads=1, P=1): rows ARE queries; no selection reduce."""
+def _fwd_kernel_s1(counts_ref, rows_ref, winfo_ref, img_ref, out_ref, sc0, sc1,
+                   *, cfull, cd):
+    """Stage-1 (heads=1, P=1): rows ARE queries; no selection reduce.
+
+    counts_ref (SMEM (1, N)): per-camera visible-query count — whole blocks
+    past it are skipped with zero output (the budget compaction packs
+    visible queries first and downstream masks the rest; see
+    dfa3d_pallas2._fwd_kernel_v2 for the full argument)."""
     m = sc0.shape[0]
     d_size = cd - cfull
-    _gather_loop(rows_ref, img_ref, sc0, sc1, m)
-    winfo = winfo_ref[:]
-    dvec = _build_dvec(winfo, m, d_size)
-    contrib, _, _ = _corner_contribs(sc0[:], sc1[:], winfo, dvec, cfull, d_size)
-    out_ref[:] = contrib
+    active = pl.program_id(1) * m < counts_ref[0, pl.program_id(0)]
+
+    @pl.when(active)
+    def _():
+        _gather_loop(rows_ref, img_ref, sc0, sc1, m)
+        winfo = winfo_ref[:]
+        dvec = _build_dvec(winfo, m, d_size)
+        contrib, _, _ = _corner_contribs(sc0[:], sc1[:], winfo, dvec, cfull,
+                                         d_size)
+        out_ref[:] = contrib
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
 
 
 def _bwd_compute(sc0, sc1, winfo, dvec, gm, dw4_ref, ddvec_ref, u0, u1,
@@ -341,8 +375,8 @@ def _scatter_loop(rows_ref, dimg_ref, u0, u1, m):
     jax.lax.fori_loop(0, half, outer, 0, unroll=False)
 
 
-def _bwd_kernel(rows_ref, winfo_ref, g_ref, img_ref, dimg_ref, dw4_ref,
-                ddvec_ref, sc0, sc1, u0, u1, rfull_sc, hmask_sc,
+def _bwd_kernel(counts_ref, rows_ref, winfo_ref, g_ref, img_ref, dimg_ref,
+                dw4_ref, ddvec_ref, sc0, sc1, u0, u1, rfull_sc, hmask_sc,
                 *, heads, c, p, qb, cd):
     m = sc0.shape[0]
     cfull = heads * c
@@ -362,20 +396,32 @@ def _bwd_kernel(rows_ref, winfo_ref, g_ref, img_ref, dimg_ref, dw4_ref,
     def _():
         dimg_ref[:] = jnp.zeros_like(dimg_ref)
 
-    _gather_loop(rows_ref, img_ref, sc0, sc1, m)
-    winfo = winfo_ref[:]
-    dvec = _build_dvec(winfo, m, d_size)
-    # expand grad rows to sample rows, masked to each sample's head block
-    g_rows = jnp.dot(rfull_sc[:], g_ref[:], preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
-    gm = g_rows * hmask_sc[:]
-    _bwd_compute(sc0, sc1, winfo, dvec, gm, dw4_ref, ddvec_ref, u0, u1,
-                 cfull, d_size)
-    _scatter_loop(rows_ref, dimg_ref, u0, u1, m)
+    # skipped blocks carry an exactly-zero incoming grad (visible-first
+    # packing + masked fusion) — every product below would be zero
+    active = pl.program_id(1) * qb < counts_ref[0, pl.program_id(0)]
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        dw4_ref[:] = jnp.zeros_like(dw4_ref)
+        ddvec_ref[:] = jnp.zeros_like(ddvec_ref)
+
+    @pl.when(active)
+    def _():
+        _gather_loop(rows_ref, img_ref, sc0, sc1, m)
+        winfo = winfo_ref[:]
+        dvec = _build_dvec(winfo, m, d_size)
+        # expand grad rows to sample rows, masked to each sample's head block
+        g_rows = jnp.dot(rfull_sc[:], g_ref[:],
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        gm = g_rows * hmask_sc[:]
+        _bwd_compute(sc0, sc1, winfo, dvec, gm, dw4_ref, ddvec_ref, u0, u1,
+                     cfull, d_size)
+        _scatter_loop(rows_ref, dimg_ref, u0, u1, m)
 
 
-def _bwd_kernel_s1(rows_ref, winfo_ref, g_ref, img_ref, dimg_ref, dw4_ref,
-                   ddvec_ref, sc0, sc1, u0, u1, *, cfull, cd):
+def _bwd_kernel_s1(counts_ref, rows_ref, winfo_ref, g_ref, img_ref, dimg_ref,
+                   dw4_ref, ddvec_ref, sc0, sc1, u0, u1, *, cfull, cd):
     m = sc0.shape[0]
     d_size = cd - cfull
 
@@ -383,12 +429,21 @@ def _bwd_kernel_s1(rows_ref, winfo_ref, g_ref, img_ref, dimg_ref, dw4_ref,
     def _():
         dimg_ref[:] = jnp.zeros_like(dimg_ref)
 
-    _gather_loop(rows_ref, img_ref, sc0, sc1, m)
-    winfo = winfo_ref[:]
-    dvec = _build_dvec(winfo, m, d_size)
-    _bwd_compute(sc0, sc1, winfo, dvec, g_ref[:], dw4_ref, ddvec_ref, u0, u1,
-                 cfull, d_size)
-    _scatter_loop(rows_ref, dimg_ref, u0, u1, m)
+    active = pl.program_id(1) * m < counts_ref[0, pl.program_id(0)]
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        dw4_ref[:] = jnp.zeros_like(dw4_ref)
+        ddvec_ref[:] = jnp.zeros_like(ddvec_ref)
+
+    @pl.when(active)
+    def _():
+        _gather_loop(rows_ref, img_ref, sc0, sc1, m)
+        winfo = winfo_ref[:]
+        dvec = _build_dvec(winfo, m, d_size)
+        _bwd_compute(sc0, sc1, winfo, dvec, g_ref[:], dw4_ref, ddvec_ref, u0,
+                     u1, cfull, d_size)
+        _scatter_loop(rows_ref, dimg_ref, u0, u1, m)
 
 
 # ---------------------------------------------------------------------------
@@ -396,7 +451,7 @@ def _bwd_kernel_s1(rows_ref, winfo_ref, g_ref, img_ref, dimg_ref, dw4_ref,
 # ---------------------------------------------------------------------------
 
 
-def _run_fwd(pair, rows, winfo, heads, c, p, qb, cd):
+def _run_fwd(pair, rows, winfo, heads, c, p, qb, cd, counts_sm):
     n, nblk, m2 = rows.shape
     m = m2 // 2
     hwp = pair.shape[1]
@@ -417,6 +472,8 @@ def _run_fwd(pair, rows, winfo, heads, c, p, qb, cd):
         grid=(n, nblk),
         out_shape=jax.ShapeDtypeStruct((n * nblk * qb, cfull), jnp.float32),
         in_specs=[
+            pl.BlockSpec((1, n), lambda ci, bi: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((2 * m // 128, 128), lambda ci, bi: (ci * nblk + bi, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((m, 8), lambda ci, bi: (ci * nblk + bi, 0),
@@ -434,6 +491,7 @@ def _run_fwd(pair, rows, winfo, heads, c, p, qb, cd):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(
+        counts_sm,
         rows.reshape(-1, 128),
         winfo.reshape(n * nblk * m, 8),
         pair.reshape(n * hwp, 2 * cd),
@@ -441,7 +499,7 @@ def _run_fwd(pair, rows, winfo, heads, c, p, qb, cd):
     return out.reshape(n, nblk * qb, cfull)
 
 
-def _run_bwd(pair, rows, winfo, g, heads, c, p, qb, cd):
+def _run_bwd(pair, rows, winfo, g, heads, c, p, qb, cd, counts_sm):
     n, nblk, m2 = rows.shape
     m = m2 // 2
     hwp = pair.shape[1]
@@ -467,6 +525,8 @@ def _run_bwd(pair, rows, winfo, g, heads, c, p, qb, cd):
             jax.ShapeDtypeStruct((n * nblk * m, d_size), jnp.float32),
         ),
         in_specs=[
+            pl.BlockSpec((1, n), lambda ci, bi: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((2 * m // 128, 128), lambda ci, bi: (ci * nblk + bi, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((m, 8), lambda ci, bi: (ci * nblk + bi, 0),
@@ -494,6 +554,7 @@ def _run_bwd(pair, rows, winfo, g, heads, c, p, qb, cd):
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
     )(
+        counts_sm,
         rows.reshape(-1, 128),
         winfo.reshape(n * nblk * m, 8),
         g,
@@ -554,32 +615,34 @@ def dfa3d_attention_pallas(value_img, dpt_img, sampling_locations,
     return out
 
 
-def _fwd_impl(value_img, dpt_img, sampling_locations, attention_weights, num_heads):
+def _fwd_impl(value_img, dpt_img, sampling_locations, attention_weights,
+              num_heads, counts=None):
     n, k = sampling_locations.shape[:2]
     hp = sampling_locations.shape[2] * sampling_locations.shape[3]
     chunk = _pick_cam_chunk(n, k * hp)
     if chunk == n:
         out = _fwd_cams(value_img, dpt_img, sampling_locations,
-                        attention_weights, num_heads)
+                        attention_weights, num_heads, counts=counts)
     else:
         groups = n // chunk
 
         def body(args):
-            return _fwd_cams(*args, num_heads)
+            return _fwd_cams(*args[:4], num_heads,
+                             counts=(args[4] if len(args) > 4 else None))
 
+        xs = [value_img, dpt_img, sampling_locations, attention_weights]
+        if counts is not None:
+            xs.append(counts)
         out = jax.lax.map(
             body,
-            tuple(
-                x.reshape((groups, chunk) + x.shape[1:])
-                for x in (value_img, dpt_img, sampling_locations,
-                          attention_weights)
-            ),
+            tuple(x.reshape((groups, chunk) + x.shape[1:]) for x in xs),
         )
         out = out.reshape((n,) + out.shape[2:])
     return out, (value_img, dpt_img, sampling_locations, attention_weights)
 
 
-def _fwd_cams(value_img, dpt_img, sampling_locations, attention_weights, num_heads):
+def _fwd_cams(value_img, dpt_img, sampling_locations, attention_weights,
+              num_heads, counts=None):
     n, h, w, cfull = value_img.shape
     d_size = dpt_img.shape[-1]
     k = sampling_locations.shape[1]
@@ -593,7 +656,8 @@ def _fwd_cams(value_img, dpt_img, sampling_locations, attention_weights, num_hea
     rows, winfo, resid, kpad = _sample_quantities(
         sampling_locations, attention_weights, h, w, d_size, qb
     )
-    out = _run_fwd(pair, rows, winfo, heads, c, p, qb, cd)
+    out = _run_fwd(pair, rows, winfo, heads, c, p, qb, cd,
+                   _counts_smem(counts, n, heads, kpad))
     return out[:, :k].astype(value_img.dtype)
 
 
@@ -602,32 +666,38 @@ def _vjp_fwd(value_img, dpt_img, sampling_locations, attention_weights, num_head
                      num_heads)
 
 
-def _vjp_bwd(num_heads, res, g):
-    value_img, dpt_img, sampling_locations, attention_weights = res
+def _bwd_impl(value_img, dpt_img, sampling_locations, attention_weights, g,
+              num_heads, counts=None):
     n, k = sampling_locations.shape[:2]
     hp = sampling_locations.shape[2] * sampling_locations.shape[3]
     chunk = _pick_cam_chunk(n, k * hp)
     if chunk == n:
         return _bwd_cams(value_img, dpt_img, sampling_locations,
-                         attention_weights, g, num_heads)
+                         attention_weights, g, num_heads, counts=counts)
     groups = n // chunk
 
     def body(args):
-        return _bwd_cams(*args[:4], args[4], num_heads)
+        return _bwd_cams(*args[:4], args[4], num_heads,
+                         counts=(args[5] if len(args) > 5 else None))
 
+    xs = [value_img, dpt_img, sampling_locations, attention_weights, g]
+    if counts is not None:
+        xs.append(counts)
     grads = jax.lax.map(
         body,
-        tuple(
-            x.reshape((groups, chunk) + x.shape[1:])
-            for x in (value_img, dpt_img, sampling_locations,
-                      attention_weights, g)
-        ),
+        tuple(x.reshape((groups, chunk) + x.shape[1:]) for x in xs),
     )
     return tuple(x.reshape((n,) + x.shape[2:]) for x in grads)
 
 
+def _vjp_bwd(num_heads, res, g):
+    value_img, dpt_img, sampling_locations, attention_weights = res
+    return _bwd_impl(value_img, dpt_img, sampling_locations,
+                     attention_weights, g, num_heads)
+
+
 def _bwd_cams(value_img, dpt_img, sampling_locations, attention_weights, g,
-              num_heads):
+              num_heads, counts=None):
     n, h, w, cfull = value_img.shape
     d_size = dpt_img.shape[-1]
     k = sampling_locations.shape[1]
@@ -649,7 +719,8 @@ def _bwd_cams(value_img, dpt_img, sampling_locations, attention_weights, g,
     g_flat = g.reshape(-1, cfull)
 
     dimg, dw4_flat, ddvec_flat = _run_bwd(
-        pair, rows, winfo, g_flat, heads, c, p, qb, cd
+        pair, rows, winfo, g_flat, heads, c, p, qb, cd,
+        _counts_smem(counts, n, heads, kpad),
     )
 
     # un-pair the image gradient: d_pixel(y,x) = slotB(y, x'=x) + slotA(y, x'=x+1)
@@ -718,3 +789,35 @@ def _bwd_cams(value_img, dpt_img, sampling_locations, attention_weights, g,
 
 
 dfa3d_attention_pallas.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def dfa3d_attention_pallas_c(value_img, dpt_img, sampling_locations,
+                             attention_weights, valid_counts, num_heads):
+    """v1 kernel with per-camera visible-count block skipping.
+
+    valid_counts: (N,) float32, visible queries packed FIRST (the budget
+    compaction's order).  Positions >= valid_counts[cam] return ZEROS and
+    produce zero loc/attn gradients — exact whenever the caller masks them
+    downstream (see dfa3d_pallas2.dfa3d_attention_pallas_v2c)."""
+    out, _ = _fwd_impl_c(value_img, dpt_img, sampling_locations,
+                         attention_weights, valid_counts, num_heads)
+    return out
+
+
+def _fwd_impl_c(value_img, dpt_img, sampling_locations, attention_weights,
+                valid_counts, num_heads):
+    out, _ = _fwd_impl(value_img, dpt_img, sampling_locations,
+                       attention_weights, num_heads, counts=valid_counts)
+    return out, (value_img, dpt_img, sampling_locations, attention_weights,
+                 valid_counts)
+
+
+def _vjp_bwd_c(num_heads, res, g):
+    value_img, dpt_img, locs, attn, valid_counts = res
+    grads = _bwd_impl(value_img, dpt_img, locs, attn, g, num_heads,
+                      counts=valid_counts)
+    return grads + (jnp.zeros_like(valid_counts),)
+
+
+dfa3d_attention_pallas_c.defvjp(_fwd_impl_c, _vjp_bwd_c)

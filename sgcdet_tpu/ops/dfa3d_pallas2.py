@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .dfa3d_pallas import _pick_cam_chunk, _round_up
+from .dfa3d_pallas import _counts_smem, _pick_cam_chunk, _round_up
 
 
 # ---------------------------------------------------------------------------
@@ -327,7 +327,7 @@ def _bwd_kernel_v2(counts_ref, rows_ref, winfo_ref, g_ref, img_ref, dimg_ref,
 # ---------------------------------------------------------------------------
 
 
-def _pick_qb_v2(k, p, target=12288, bwd=False):
+def _pick_qb_v2(k, p, target=12288, bwd=False, counted=False):
     """qb: query block size; P*qb samples per grid step.  qb % 128 == 0 (the
     gather loop walks full 128-lane SMEM groups per point segment) and
     p*qb % 1024 == 0 (the rows block is (p*qb/128, 128) SMEM whose sublane
@@ -342,6 +342,13 @@ def _pick_qb_v2(k, p, target=12288, bwd=False):
     while (p * step) % 1024 != 0:
         step += 128
     budget = target // 2 if bwd else target
+    if counted:
+        # with per-camera count skipping, smaller blocks skip FINER and
+        # skipped grid steps are cheap (measured: qb 768 beats 2304 by
+        # 1.20x fwd / 1.23x bwd at the ScanNet L2 budget shape with
+        # realistic counts; 512/256 tie with 768 —
+        # experiments/bench_counted_qb.py, v5e 2026-08-19)
+        budget = min(budget, 768 * p)
     max_qb = max(step, (budget // p) // step * step)
     max_qb = min(max_qb, _round_up(k, step))
     best = None
@@ -353,14 +360,6 @@ def _pick_qb_v2(k, p, target=12288, bwd=False):
         if best is None or cost < best[0]:
             best = (cost, cand)
     return best[1]
-
-
-def _counts_smem(counts, n, heads, kpad):
-    """(1, N) int32 per-camera visible-query counts for the kernels' block
-    skip; None -> kpad everywhere (every block active)."""
-    if counts is None:
-        return jnp.full((1, n), kpad, jnp.int32)
-    return jnp.asarray(counts, jnp.int32).reshape(1, n)
 
 
 def _run_fwd_v2(quad, rows, winfo, heads, c, p, qb, d_size, counts_sm):
@@ -513,7 +512,8 @@ def _fwd_cams_v2(value_img, dpt_img, sampling_locations, attention_weights,
     p = sampling_locations.shape[3]
     heads = num_heads
     c = cfull // heads
-    qb = (pick_qb or _pick_qb_v2)(k, p)
+    qb = (pick_qb or functools.partial(
+        _pick_qb_v2, counted=counts is not None))(k, p)
 
     rows, winfo, _, kpad = _sample_quantities_v2(
         sampling_locations, attention_weights, h, w, d_size, qb
@@ -581,7 +581,8 @@ def _bwd_cams_v2(value_img, dpt_img, sampling_locations, attention_weights, g,
     p = sampling_locations.shape[3]
     heads = num_heads
     c = cfull // heads
-    qb = (pick_qb or (lambda kk, pp: _pick_qb_v2(kk, pp, bwd=True)))(k, p)
+    qb = (pick_qb or (lambda kk, pp: _pick_qb_v2(
+        kk, pp, bwd=True, counted=counts is not None)))(k, p)
 
     rows, winfo, resid, kpad = _sample_quantities_v2(
         sampling_locations, attention_weights, h, w, d_size, qb

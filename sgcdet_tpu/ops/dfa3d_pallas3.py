@@ -36,6 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .dfa3d_pallas import (
     _build_dvec,
+    _counts_smem,
     _pick_cam_chunk,
     _pick_qb,
     _round_up,
@@ -657,8 +658,8 @@ def _corner_contribs_pq(s, w4, dvec, cfull, d_size):
     return contrib
 
 
-def _fwd_kernel_pq(rows_ref, winfo_ref, img_ref, out_ref, sc, rsel_sc,
-                   hmask_sc, *, heads, c, p, qb, cd):
+def _fwd_kernel_pq(counts_ref, rows_ref, winfo_ref, img_ref, out_ref, sc,
+                   rsel_sc, hmask_sc, *, heads, c, p, qb, cd):
     m = sc.shape[0]
     cfull = heads * c
     d_size = cd - cfull
@@ -673,27 +674,46 @@ def _fwd_kernel_pq(rows_ref, winfo_ref, img_ref, out_ref, sc, rsel_sc,
         r_col = jax.lax.broadcasted_iota(jnp.int32, (qb, m), 1)
         rsel_sc[:] = ((r_col % qbp) // p == r_row).astype(jnp.float32)
 
-    _gather_loop_q(rows_ref, img_ref, sc, m)
-    winfo = winfo_ref[:]
-    dvec = _build_dvec(winfo, m, d_size)
-    contrib = _corner_contribs_pq(sc[:], winfo, dvec, cfull, d_size)
-    contrib = contrib * hmask_sc[:]
-    out_ref[:] = jnp.dot(rsel_sc[:], contrib,
-                         preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
+    active = pl.program_id(1) * qb < counts_ref[0, pl.program_id(0)]
+
+    @pl.when(active)
+    def _():
+        _gather_loop_q(rows_ref, img_ref, sc, m)
+        winfo = winfo_ref[:]
+        dvec = _build_dvec(winfo, m, d_size)
+        contrib = _corner_contribs_pq(sc[:], winfo, dvec, cfull, d_size)
+        contrib = contrib * hmask_sc[:]
+        out_ref[:] = jnp.dot(rsel_sc[:], contrib,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
 
 
-def _fwd_kernel_pq_s1(rows_ref, winfo_ref, img_ref, out_ref, sc, *, cfull, cd):
-    """Stage-1 (heads=1, P=1): rows ARE queries; no selection reduce."""
+def _fwd_kernel_pq_s1(counts_ref, rows_ref, winfo_ref, img_ref, out_ref, sc,
+                      *, cfull, cd):
+    """Stage-1 (heads=1, P=1): rows ARE queries; no selection reduce.
+    Blocks past counts_ref[0, cam] are skipped with zero output (see
+    dfa3d_pallas._fwd_kernel_s1)."""
     m = sc.shape[0]
     d_size = cd - cfull
-    _gather_loop_q(rows_ref, img_ref, sc, m)
-    winfo = winfo_ref[:]
-    dvec = _build_dvec(winfo, m, d_size)
-    out_ref[:] = _corner_contribs_pq(sc[:], winfo, dvec, cfull, d_size)
+    active = pl.program_id(1) * m < counts_ref[0, pl.program_id(0)]
+
+    @pl.when(active)
+    def _():
+        _gather_loop_q(rows_ref, img_ref, sc, m)
+        winfo = winfo_ref[:]
+        dvec = _build_dvec(winfo, m, d_size)
+        out_ref[:] = _corner_contribs_pq(sc[:], winfo, dvec, cfull, d_size)
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
 
 
-def _run_fwd_pq(packed, rows, winfo, heads, c, p, qb, cd):
+def _run_fwd_pq(packed, rows, winfo, heads, c, p, qb, cd, counts_sm):
     n, nblk, m = rows.shape
     hwq = packed.shape[1]
     cfull = heads * c
@@ -713,6 +733,8 @@ def _run_fwd_pq(packed, rows, winfo, heads, c, p, qb, cd):
         grid=(n, nblk),
         out_shape=jax.ShapeDtypeStruct((n * nblk * qb, cfull), jnp.float32),
         in_specs=[
+            pl.BlockSpec((1, n), lambda ci, bi: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((m // 128, 128), lambda ci, bi: (ci * nblk + bi, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((m, 8), lambda ci, bi: (ci * nblk + bi, 0),
@@ -729,6 +751,7 @@ def _run_fwd_pq(packed, rows, winfo, heads, c, p, qb, cd):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(
+        counts_sm,
         rows.reshape(-1, 128),
         winfo.reshape(n * nblk * m, 8),
         packed.reshape(n * hwq, 2 * cd),
@@ -737,34 +760,34 @@ def _run_fwd_pq(packed, rows, winfo, heads, c, p, qb, cd):
 
 
 def _fwd_impl_pq(value_img, dpt_img, sampling_locations, attention_weights,
-                 num_heads):
+                 num_heads, counts=None):
     """Packed-quad forward; returns (out, primals) for mixed-VJP wiring."""
     n, k = sampling_locations.shape[:2]
     hp = sampling_locations.shape[2] * sampling_locations.shape[3]
     chunk = _pick_cam_chunk(n, k * hp)
     if chunk == n:
         out = _fwd_cams_pq(value_img, dpt_img, sampling_locations,
-                           attention_weights, num_heads)
+                           attention_weights, num_heads, counts=counts)
     else:
         groups = n // chunk
 
         def body(args):
-            return _fwd_cams_pq(*args, num_heads)
+            return _fwd_cams_pq(*args[:4], num_heads,
+                                counts=(args[4] if len(args) > 4 else None))
 
+        xs = [value_img, dpt_img, sampling_locations, attention_weights]
+        if counts is not None:
+            xs.append(counts)
         out = jax.lax.map(
             body,
-            tuple(
-                x.reshape((groups, chunk) + x.shape[1:])
-                for x in (value_img, dpt_img, sampling_locations,
-                          attention_weights)
-            ),
+            tuple(x.reshape((groups, chunk) + x.shape[1:]) for x in xs),
         )
         out = out.reshape((n,) + out.shape[2:])
     return out, (value_img, dpt_img, sampling_locations, attention_weights)
 
 
 def _fwd_cams_pq(value_img, dpt_img, sampling_locations, attention_weights,
-                 num_heads):
+                 num_heads, counts=None):
     n, h, w, cfull = value_img.shape
     d_size = dpt_img.shape[-1]
     k = sampling_locations.shape[1]
@@ -779,7 +802,8 @@ def _fwd_cams_pq(value_img, dpt_img, sampling_locations, attention_weights,
         sampling_locations, attention_weights, h, w, d_size, qb
     )
     rows = _quad_rows(rows2, h, w)
-    out = _run_fwd_pq(packed, rows, winfo, heads, c, p, qb, cd)
+    out = _run_fwd_pq(packed, rows, winfo, heads, c, p, qb, cd,
+                      _counts_smem(counts, n, heads, kpad))
     return out[:, :k].astype(value_img.dtype)
 
 

@@ -142,3 +142,63 @@ def test_mixed_fwd_and_grads_match_oracle(n, h, w, k, heads, c, p, d):
     for name, a, b in zip(["d_value", "d_dpt", "d_locs", "d_attn"], gr, gp):
         scale = max(float(jnp.abs(a).max()), 1.0)
         assert float(jnp.abs(a - b).max()) < 5e-4 * scale, name
+
+
+@pytest.mark.parametrize(
+    "n,h,w,k,heads,c,p,d,bf16",
+    [
+        (3, 15, 20, 4608, 1, 256, 1, 12, False),  # stage-1 f32 -> v1 counted
+        (3, 15, 20, 4608, 1, 256, 1, 12, True),   # stage-1 bf16 -> pq counted
+        (2, 8, 10, 384, 2, 8, 2, 5, False),       # multi-head v1 counted
+    ],
+)
+def test_counted_stage1_matches_oracle_on_valid_region(n, h, w, k, heads, c,
+                                                       p, d, bf16):
+    """Counted v1/pq ops: exact on the first counts[cam] queries, zeros
+    after, grads matching oracle under fusion-style masked cotangents."""
+    from sgcdet_tpu.ops.dfa3d_pallas import dfa3d_attention_pallas_c
+    from sgcdet_tpu.ops.dfa3d import dfa3d_attention_pallas_pq_s1c
+
+    value_img, dpt_img, locs, attn = _case(n, h, w, k, heads, c, p, d)
+    if bf16:
+        value_img = value_img.astype(jnp.bfloat16)
+        dpt_img = dpt_img.astype(jnp.bfloat16)
+    counts = jnp.asarray([k // 3, k, max(k // 7, 1)], jnp.float32)[:n]
+    op = dfa3d_attention_pallas_pq_s1c if bf16 else dfa3d_attention_pallas_c
+    ref, _ = dfa3d_attention(
+        value_img.astype(jnp.float32).reshape(n, h * w, heads, c),
+        dpt_img.astype(jnp.float32).reshape(n, h * w, d),
+        ((h, w),),
+        locs[:, :, :, None],
+        attn[:, :, :, None],
+    )
+    out = op(value_img, dpt_img, locs, attn, counts, heads)
+    qmask = (jnp.arange(k)[None, :] < counts[:, None]).astype(jnp.float32)
+    scale = max(float(jnp.abs(ref).max()), 1.0)
+    tol = 2e-2 if bf16 else 2e-5
+    err = float((jnp.abs(out.astype(jnp.float32) - ref)
+                 * qmask[..., None]).max())
+    assert err < tol * scale
+
+    cos_w = jnp.cos(jnp.arange(n * k * heads * c, dtype=jnp.float32)).reshape(
+        n, k, heads * c
+    ) * qmask[..., None]
+
+    def loss_ref(vi, di, lo, at):
+        o, _ = dfa3d_attention(
+            vi.astype(jnp.float32).reshape(n, h * w, heads, c),
+            di.astype(jnp.float32).reshape(n, h * w, d),
+            ((h, w),), lo[:, :, :, None], at[:, :, :, None],
+        )
+        return jnp.sum(o * cos_w)
+
+    def loss_cnt(vi, di, lo, at):
+        return jnp.sum(
+            op(vi, di, lo, at, counts, heads).astype(jnp.float32) * cos_w)
+
+    gr = jax.grad(loss_ref, argnums=(2, 3))(value_img, dpt_img, locs, attn)
+    gc = jax.grad(loss_cnt, argnums=(2, 3))(value_img, dpt_img, locs, attn)
+    gtol = 2e-2 if bf16 else 5e-4
+    for name, a, b in zip(["d_locs", "d_attn"], gr, gc):
+        s = max(float(jnp.abs(a).max()), 1.0)
+        assert float(jnp.abs(a - b).max()) < gtol * s, name
