@@ -71,11 +71,11 @@ DEADLINE = float(os.environ.get("BENCH_DEADLINE_SEC", "1380"))
 # extra["measured_live_keys"]
 CACHED = {
     "scannet_40view_dense_ring_scenes_per_sec": 4.2874,
-    "scannet_100view_eval_scenes_per_sec": 2.603,
+    "scannet_100view_eval_scenes_per_sec": 2.705,
     "scannet200_large_40view_scenes_per_sec": 1.3103,
-    "train_scenes_per_sec_40views": 1.666,
+    "train_scenes_per_sec_40views": 1.752,
 }
-CACHED_HEADLINE = 5.970  # indoor walkthrough + auto exact budget, 2026-08-19
+CACHED_HEADLINE = 6.164  # indoor walkthrough + auto exact budget, 2026-08-19
 
 _LOCK = threading.Lock()
 _RESULT = {

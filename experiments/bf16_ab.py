@@ -31,7 +31,7 @@ def synth_scene(cfg, n_views, rng, n_boxes=3):
     scene = _example_scene(cfg.data.img_shape, cfg.data.pad_size, n_views,
                            rng=rng, trajectory="indoor")
     nv = np.asarray(cfg.model.n_voxels, np.float32)
-    vs = float(cfg.model.voxel_size)
+    vs = np.asarray(cfg.model.voxel_size, np.float32)
     origin = np.asarray(scene["origin"], np.float32)
     lo = origin - nv * vs / 2.0
     hi = origin + nv * vs / 2.0
@@ -39,7 +39,7 @@ def synth_scene(cfg, n_views, rng, n_boxes=3):
                           size=(n_boxes, 3)).astype(np.float32)
     sizes = rng.uniform(0.6, 1.4, size=(n_boxes, 3)).astype(np.float32)
     boxes = np.concatenate([centers, sizes], axis=1)  # (B, 6) scannet-style
-    labels = rng.randint(0, len(cfg.model.classes), size=(n_boxes,))
+    labels = rng.randint(0, len(cfg.data.classes), size=(n_boxes,))
     max_boxes = cfg.data.max_boxes
     gt_boxes = np.zeros((max_boxes, 6), np.float32)
     gt_labels = np.zeros((max_boxes,), np.int32)
@@ -112,10 +112,9 @@ def evaluate(cfg, model, params, batch_stats, scenes):
         gt_annos.append(dict(
             gt_boxes_upright_depth=gb, gt_num=len(gl),
             **{"class": gl.astype(np.int64)}))
-    label2cat = dict(enumerate(cfg.model.classes))
+    label2cat = dict(enumerate(cfg.data.classes))
     # yaw-less handling is inferred from the 6-dim boxes (with_yaw=False)
-    metrics = indoor_eval.indoor_eval(gt_annos, dt_annos, [0.25, 0.5],
-                                      label2cat)
+    metrics = indoor_eval(gt_annos, dt_annos, [0.25, 0.5], label2cat)
     return metrics, dt_annos
 
 

@@ -186,13 +186,18 @@ def _sample_quantities(locs, attn, h, w, d_size, qb):
 # ---------------------------------------------------------------------------
 
 
-def _gather_loop(rows_ref, img_ref, sc0, sc1, m):
+def _gather_loop(rows_ref, img_ref, sc0, sc1, m, bound=None):
     """Per pair-row stream, 8 samples' rows accumulated in registers and
     written as ONE sublane-aligned (8, width) store (measured 1.8x over
     per-row stores — experiments/probe_gather_batch.py, v5e 2026-08-19).
     Nested loops keep the SMEM index math add-only (div/mod on the critical
     path costs ~40%).  rows_ref packs y0 rows in the first m//128 sublane
-    rows and y1 rows in the next m//128."""
+    rows and y1 rows in the next m//128.
+
+    bound (dynamic scalar, optional): gather only the first `bound` of the
+    m//128 sample groups (the counted partial-block clamp); scratch rows
+    beyond keep STALE contents — callers must jnp.where-mask past the
+    count."""
     half = m // 128
 
     def outer(j, _):
@@ -209,7 +214,8 @@ def _gather_loop(rows_ref, img_ref, sc0, sc1, m):
         jax.lax.fori_loop(0, 16, inner, 0, unroll=False)
         return 0
 
-    jax.lax.fori_loop(0, half, outer, 0, unroll=False)
+    jax.lax.fori_loop(0, half if bound is None else bound, outer, 0,
+                      unroll=False)
 
 
 def _build_dvec(winfo, m, d_size):
@@ -304,16 +310,21 @@ def _fwd_kernel_s1(counts_ref, rows_ref, winfo_ref, img_ref, out_ref, sc0, sc1,
     dfa3d_pallas2._fwd_kernel_v2 for the full argument)."""
     m = sc0.shape[0]
     d_size = cd - cfull
-    active = pl.program_id(1) * m < counts_ref[0, pl.program_id(0)]
+    rem = counts_ref[0, pl.program_id(0)] - pl.program_id(1) * m
+    active = rem > 0
 
     @pl.when(active)
     def _():
-        _gather_loop(rows_ref, img_ref, sc0, sc1, m)
+        # partial-block clamp: gather only ceil(rem/128) groups; rows past
+        # rem use stale scratch and are where-masked (NaN-safe)
+        bound = jnp.minimum(m // 128, (rem + 127) // 128)
+        _gather_loop(rows_ref, img_ref, sc0, sc1, m, bound)
         winfo = winfo_ref[:]
         dvec = _build_dvec(winfo, m, d_size)
         contrib, _, _ = _corner_contribs(sc0[:], sc1[:], winfo, dvec, cfull,
                                          d_size)
-        out_ref[:] = contrib
+        rowmask = jax.lax.broadcasted_iota(jnp.int32, contrib.shape, 0) < rem
+        out_ref[:] = jnp.where(rowmask, contrib, 0.0)
 
     @pl.when(jnp.logical_not(active))
     def _():
@@ -321,7 +332,7 @@ def _fwd_kernel_s1(counts_ref, rows_ref, winfo_ref, img_ref, out_ref, sc0, sc1,
 
 
 def _bwd_compute(sc0, sc1, winfo, dvec, gm, dw4_ref, ddvec_ref, u0, u1,
-                 cfull, d_size):
+                 cfull, d_size, rowmask=None):
     m = sc0.shape[0]
     _, ds_list, vals = _corner_contribs(sc0[:], sc1[:], winfo, dvec, cfull,
                                         d_size)
@@ -333,14 +344,18 @@ def _bwd_compute(sc0, sc1, winfo, dvec, gm, dw4_ref, ddvec_ref, u0, u1,
         s1[:, 2 * cfull:2 * cfull + d_size],
         s1[:, 2 * cfull + d_size:2 * cfull + 2 * d_size],
     )
+    # rowmask: counted partial blocks leave stale scratch past the count —
+    # jnp.where (not a multiply) so NaN bit patterns cannot leak
+    mask = (lambda x: jnp.where(rowmask, x, 0.0)) if rowmask is not None \
+        else (lambda x: x)
     t_list = [jnp.sum(v * gm, axis=1, keepdims=True) for v in vals]  # (M, 1)
     ddvec = jnp.zeros((m, d_size), jnp.float32)
     for j in range(4):
         ddvec = ddvec + (winfo[:, j:j + 1] * t_list[j]) * dpts[j]
-    dw4_ref[:] = jnp.concatenate(
+    dw4_ref[:] = mask(jnp.concatenate(
         [ds_list[j] * t_list[j] for j in range(4)], axis=1
-    )
-    ddvec_ref[:] = ddvec
+    ))
+    ddvec_ref[:] = mask(ddvec)
 
     def upd(j):
         return ((winfo[:, j:j + 1] * ds_list[j]) * gm,
@@ -348,13 +363,13 @@ def _bwd_compute(sc0, sc1, winfo, dvec, gm, dw4_ref, ddvec_ref, u0, u1,
 
     dv0, dd0 = upd(0)
     dv1, dd1 = upd(1)
-    u0[:] = jnp.concatenate([dv0, dv1, dd0, dd1], axis=1)
+    u0[:] = mask(jnp.concatenate([dv0, dv1, dd0, dd1], axis=1))
     dv2, dd2 = upd(2)
     dv3, dd3 = upd(3)
-    u1[:] = jnp.concatenate([dv2, dv3, dd2, dd3], axis=1)
+    u1[:] = mask(jnp.concatenate([dv2, dv3, dd2, dd3], axis=1))
 
 
-def _scatter_loop(rows_ref, dimg_ref, u0, u1, m):
+def _scatter_loop(rows_ref, dimg_ref, u0, u1, m, bound=None):
     half = m // 128
 
     def outer(j, _):
@@ -372,7 +387,8 @@ def _scatter_loop(rows_ref, dimg_ref, u0, u1, m):
         jax.lax.fori_loop(0, 32, inner, 0, unroll=False)
         return 0
 
-    jax.lax.fori_loop(0, half, outer, 0, unroll=False)
+    jax.lax.fori_loop(0, half if bound is None else bound, outer, 0,
+                      unroll=False)
 
 
 def _bwd_kernel(counts_ref, rows_ref, winfo_ref, g_ref, img_ref, dimg_ref,
@@ -429,7 +445,8 @@ def _bwd_kernel_s1(counts_ref, rows_ref, winfo_ref, g_ref, img_ref, dimg_ref,
     def _():
         dimg_ref[:] = jnp.zeros_like(dimg_ref)
 
-    active = pl.program_id(1) * m < counts_ref[0, pl.program_id(0)]
+    rem = counts_ref[0, pl.program_id(0)] - pl.program_id(1) * m
+    active = rem > 0
 
     @pl.when(jnp.logical_not(active))
     def _():
@@ -438,12 +455,14 @@ def _bwd_kernel_s1(counts_ref, rows_ref, winfo_ref, g_ref, img_ref, dimg_ref,
 
     @pl.when(active)
     def _():
-        _gather_loop(rows_ref, img_ref, sc0, sc1, m)
+        bound = jnp.minimum(m // 128, (rem + 127) // 128)
+        _gather_loop(rows_ref, img_ref, sc0, sc1, m, bound)
         winfo = winfo_ref[:]
         dvec = _build_dvec(winfo, m, d_size)
+        rowmask = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0) < rem
         _bwd_compute(sc0, sc1, winfo, dvec, g_ref[:], dw4_ref, ddvec_ref, u0,
-                     u1, cfull, d_size)
-        _scatter_loop(rows_ref, dimg_ref, u0, u1, m)
+                     u1, cfull, d_size, rowmask=rowmask)
+        _scatter_loop(rows_ref, dimg_ref, u0, u1, m, bound)
 
 
 # ---------------------------------------------------------------------------

@@ -181,13 +181,19 @@ def _sample_quantities_v2(locs, attn, h, w, d_size, qb):
 # ---------------------------------------------------------------------------
 
 
-def _gather_loop_v2(rows_ref, img_ref, scs, qb):
+def _gather_loop_v2(rows_ref, img_ref, scs, qb, seg_act=None):
     """Per point, 8 consecutive samples' rows accumulated in registers and
     written as ONE sublane-aligned (8, width) store — the copies are vector
     load/store pairs sharing VPU issue slots, so batching the store side is
     a measured 1.8x over per-row stores (5.3 vs 9.5 ns/copy standalone,
     experiments/probe_gather_batch.py, v5e 2026-08-19).  rows_ref segments:
-    point j occupies sublane rows [j*qb/128, (j+1)*qb/128)."""
+    point j occupies sublane rows [j*qb/128, (j+1)*qb/128).
+
+    seg_act (dynamic scalar, optional): only the first seg_act 128-query
+    groups are gathered — the partial-block clamp for counted blocks.
+    Scratch rows beyond them keep STALE contents; callers must mask the
+    epilogue past the count (jnp.where, so even NaN bit patterns from
+    uninitialized VMEM cannot leak)."""
     p = len(scs)
     seg = qb // 128
 
@@ -205,7 +211,8 @@ def _gather_loop_v2(rows_ref, img_ref, scs, qb):
         jax.lax.fori_loop(0, 16, inner, 0, unroll=False)
         return 0
 
-    jax.lax.fori_loop(0, seg, outer, 0, unroll=False)
+    jax.lax.fori_loop(0, seg if seg_act is None else seg_act, outer, 0,
+                      unroll=False)
 
 
 def _dvec(winfo, rows, d_size):
@@ -243,17 +250,22 @@ def _fwd_kernel_v2(counts_ref, rows_ref, winfo_ref, img_ref, out_ref, *scs,
     # (deformable_cross_attention.py:759-783): static padded shapes, compute
     # scaling with the ACTUAL per-camera visibility.
     cam = pl.program_id(0) // heads
-    active = pl.program_id(1) * qb < counts_ref[0, cam]
+    rem = counts_ref[0, cam] - pl.program_id(1) * qb
+    active = rem > 0
 
     @pl.when(active)
     def _():
-        _gather_loop_v2(rows_ref, img_ref, scs, qb)
+        # partial-block clamp: gather only ceil(rem/128) query groups; rows
+        # past them are computed from stale scratch and MASKED below
+        seg_act = jnp.minimum(qb // 128, (rem + 127) // 128)
+        _gather_loop_v2(rows_ref, img_ref, scs, qb, seg_act)
         acc = None
         for j in range(p):
             winfo = winfo_ref[j * qb:(j + 1) * qb, :]
             contrib, _, _, _ = _point_contrib(scs[j][:], winfo, c, d_size, qb)
             acc = contrib if acc is None else acc + contrib
-        out_ref[:] = acc
+        rowmask = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 0) < rem
+        out_ref[:] = jnp.where(rowmask, acc, 0.0)
 
     @pl.when(jnp.logical_not(active))
     def _():
@@ -272,7 +284,8 @@ def _bwd_kernel_v2(counts_ref, rows_ref, winfo_ref, g_ref, img_ref, dimg_ref,
     # incoming grad g is exactly zero there, so every product below — and
     # the dimg scatter-adds — would be zero anyway (see _fwd_kernel_v2)
     cam = pl.program_id(0) // heads
-    active = pl.program_id(1) * qb < counts_ref[0, cam]
+    rem = counts_ref[0, cam] - pl.program_id(1) * qb
+    active = rem > 0
 
     @pl.when(jnp.logical_not(active))
     def _():
@@ -281,29 +294,42 @@ def _bwd_kernel_v2(counts_ref, rows_ref, winfo_ref, g_ref, img_ref, dimg_ref,
 
     @pl.when(active)
     def _():
-        _gather_loop_v2(rows_ref, img_ref, scs, qb)
+        seg = qb // 128
+        # partial-block clamp: gather/scatter only ceil(rem/128) query
+        # groups; rows past rem use stale scratch and are masked with
+        # jnp.where (NOT a multiply — NaN bit patterns from uninitialized
+        # VMEM must not leak)
+        seg_act = jnp.minimum(seg, (rem + 127) // 128)
+        _gather_loop_v2(rows_ref, img_ref, scs, qb, seg_act)
         g = g_ref[:]  # (qb, c)
+        rowmask = jax.lax.broadcasted_iota(jnp.int32, (qb, 1), 0) < rem
         for j in range(p):
             s = scs[j][:]
             winfo = winfo_ref[j * qb:(j + 1) * qb, :]
             _, dvec, ds_list, vals = _point_contrib(s, winfo, c, d_size, qb)
             t_list = [jnp.sum(v * g, axis=1, keepdims=True) for v in vals]
-            dw4_ref[j * qb:(j + 1) * qb, :] = jnp.concatenate(
-                [ds_list[i] * t_list[i] for i in range(4)], axis=1
+            dw4_ref[j * qb:(j + 1) * qb, :] = jnp.where(
+                rowmask,
+                jnp.concatenate(
+                    [ds_list[i] * t_list[i] for i in range(4)], axis=1),
+                0.0,
             )
             ddvec = None
             for i in range(4):
                 dj = s[:, 4 * c + i * d_size: 4 * c + (i + 1) * d_size]
                 term = (winfo[:, i:i + 1] * t_list[i]) * dj
                 ddvec = term if ddvec is None else ddvec + term
-            ddvec_ref[j * qb:(j + 1) * qb, :] = ddvec
-            us[j][:] = jnp.concatenate(
-                [(winfo[:, i:i + 1] * ds_list[i]) * g for i in range(4)]
-                + [(winfo[:, i:i + 1] * t_list[i]) * dvec for i in range(4)],
-                axis=1,
+            ddvec_ref[j * qb:(j + 1) * qb, :] = jnp.where(rowmask, ddvec, 0.0)
+            us[j][:] = jnp.where(
+                rowmask,
+                jnp.concatenate(
+                    [(winfo[:, i:i + 1] * ds_list[i]) * g for i in range(4)]
+                    + [(winfo[:, i:i + 1] * t_list[i]) * dvec
+                       for i in range(4)],
+                    axis=1,
+                ),
+                0.0,
             )
-
-        seg = qb // 128
 
         def outer(j, _):
             base = j * 128
@@ -319,7 +345,7 @@ def _bwd_kernel_v2(counts_ref, rows_ref, winfo_ref, g_ref, img_ref, dimg_ref,
             jax.lax.fori_loop(0, 64, inner, 0, unroll=False)
             return 0
 
-        jax.lax.fori_loop(0, seg, outer, 0, unroll=False)
+        jax.lax.fori_loop(0, seg_act, outer, 0, unroll=False)
 
 
 # ---------------------------------------------------------------------------

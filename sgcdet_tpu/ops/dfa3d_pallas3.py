@@ -110,10 +110,13 @@ def _quad_rows(rows, h, w):
 # ---------------------------------------------------------------------------
 
 
-def _gather_loop_q(rows_ref, img_ref, sc, m):
+def _gather_loop_q(rows_ref, img_ref, sc, m, bound=None):
     """Eight quad rows accumulated in registers, ONE aligned (8, width)
     store per iteration (measured 1.8x over per-row stores —
-    experiments/probe_gather_batch.py, v5e 2026-08-19)."""
+    experiments/probe_gather_batch.py, v5e 2026-08-19).  bound (dynamic
+    scalar, optional): gather only the first `bound` sample groups (the
+    counted partial-block clamp); stale scratch past them must be
+    where-masked by the caller."""
     def outer(j, _):
         def inner(l, _):
             i = pl.multiple_of(j * 128 + l * 8, 8)
@@ -127,7 +130,8 @@ def _gather_loop_q(rows_ref, img_ref, sc, m):
         jax.lax.fori_loop(0, 16, inner, 0, unroll=False)
         return 0
 
-    jax.lax.fori_loop(0, m // 128, outer, 0, unroll=False)
+    jax.lax.fori_loop(0, m // 128 if bound is None else bound, outer, 0,
+                      unroll=False)
 
 
 def _corner_contribs_q(s, w4, dvec, cfull, d_size):
@@ -699,14 +703,20 @@ def _fwd_kernel_pq_s1(counts_ref, rows_ref, winfo_ref, img_ref, out_ref, sc,
     dfa3d_pallas._fwd_kernel_s1)."""
     m = sc.shape[0]
     d_size = cd - cfull
-    active = pl.program_id(1) * m < counts_ref[0, pl.program_id(0)]
+    rem = counts_ref[0, pl.program_id(0)] - pl.program_id(1) * m
+    active = rem > 0
 
     @pl.when(active)
     def _():
-        _gather_loop_q(rows_ref, img_ref, sc, m)
+        # partial-block clamp: gather only ceil(rem/128) groups; rows past
+        # rem use stale scratch and are where-masked (NaN-safe)
+        bound = jnp.minimum(m // 128, (rem + 127) // 128)
+        _gather_loop_q(rows_ref, img_ref, sc, m, bound)
         winfo = winfo_ref[:]
         dvec = _build_dvec(winfo, m, d_size)
-        out_ref[:] = _corner_contribs_pq(sc[:], winfo, dvec, cfull, d_size)
+        contrib = _corner_contribs_pq(sc[:], winfo, dvec, cfull, d_size)
+        rowmask = jax.lax.broadcasted_iota(jnp.int32, contrib.shape, 0) < rem
+        out_ref[:] = jnp.where(rowmask, contrib, 0.0)
 
     @pl.when(jnp.logical_not(active))
     def _():
