@@ -100,8 +100,11 @@ class CBGSDataset:
     the released configs): duplicates scene indices so every class appears in
     ~1/n_classes of the samples."""
 
-    def __init__(self, dataset, n_classes):
+    def __init__(self, dataset, n_classes, seed=0):
         self.ds = dataset
+        # seeded: epoch composition must be deterministic across hosts so
+        # host-sharded loaders slice the same duplicated index list
+        self._rng = np.random.RandomState(seed)
         self.sample_indices = self._balanced_indices(n_classes)
 
     def _balanced_indices(self, n_classes):
@@ -122,7 +125,7 @@ class CBGSDataset:
                 continue
             ratio = frac / (len(scenes) / duplicated)
             take = int(len(scenes) * ratio)
-            out.extend(np.random.choice(scenes, take).tolist())
+            out.extend(self._rng.choice(scenes, take).tolist())
         return out or list(range(len(self.ds)))
 
     def __len__(self):
