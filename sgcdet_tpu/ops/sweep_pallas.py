@@ -119,11 +119,34 @@ def _sweep_rows_weights(x_eff, y_eff, h, w, hwp):
     return rows, w4.astype(jnp.float32)
 
 
-def _gather_rows(rows_ref, img_ref, sc, m):
+def _plane_ranges(w4, n, d, hwp):
+    """Per-(pair, plane) contiguous range [lo, hi) of 128-sample groups that
+    contain ANY valid sample (some bilinear weight nonzero).  The warp of one
+    plane scans the output image smoothly, so off-image samples cluster at
+    the start/end of the flat pixel scan (and whole near planes are often
+    fully off-image on wide-rotation rigs); the kernels take these as DYNAMIC
+    loop bounds — unlike the measured-negative per-group ``pl.when`` gate
+    (experiments/bench_sweep_skip.py), fewer loop trips have zero
+    predication cost.  Empty planes yield lo == hi (zero trips).
+    Returns (2, n*d) int32 — row 0 = lo, row 1 = hi; rides as a FULL-array
+    SMEM operand (SMEM blocks must be full-array or 8x128-tiled), the
+    kernels index planes from their program ids."""
+    g = hwp // 128
+    gv = (jnp.sum(w4, -1) > 0).reshape(n, d, g, 128).any(-1)
+    idx = jnp.arange(g, dtype=jnp.int32)
+    lo = jnp.min(jnp.where(gv, idx, g), axis=-1)
+    hi = jnp.maximum(jnp.max(jnp.where(gv, idx + 1, 0), axis=-1), lo)
+    return jnp.stack([lo.reshape(-1), hi.reshape(-1)]).astype(jnp.int32)
+
+
+def _gather_rows(rows_ref, rng_ref, img_ref, sc, dpc, gpp, pbase):
     # 8 rows accumulated in registers, ONE sublane-aligned (8, width) store
     # per iteration: the copies are vector load/store pairs, so batching the
     # store side is a measured 1.8x over per-row stores (experiments/
-    # probe_gather_batch.py, v5e 2026-08-19)
+    # probe_gather_batch.py, v5e 2026-08-19).  Per plane, only the valid
+    # group range [lo, hi) is gathered; scratch rows outside it keep STALE
+    # contents (possibly uninitialized VMEM), so callers must jnp.where-mask
+    # the per-sample epilogue on the validity of the bilinear weights.
     def outer(j, _):
         def inner(l, _):
             base = pl.multiple_of(j * 128 + l * 8, 8)
@@ -137,7 +160,10 @@ def _gather_rows(rows_ref, img_ref, sc, m):
         jax.lax.fori_loop(0, 16, inner, 0, unroll=False)
         return 0
 
-    jax.lax.fori_loop(0, m // 128, outer, 0, unroll=False)
+    for dp in range(dpc):
+        jax.lax.fori_loop(dp * gpp + rng_ref[0, pbase + dp],
+                          dp * gpp + rng_ref[1, pbase + dp], outer, 0,
+                          unroll=False)
 
 
 # ---------------------------------------------------------------------------
@@ -145,74 +171,101 @@ def _gather_rows(rows_ref, img_ref, sc, m):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(rows_ref, w4_ref, quad_ref, ref_ref, out_ref, sc, *, c, dpc,
-                hwp, inv_sqrt_c):
-    m = dpc * hwp
-    _gather_rows(rows_ref, quad_ref, sc, m)
+def _corner_slices_f32(s, c):
+    return [s[:, j * c:(j + 1) * c] for j in range(4)]
+
+
+def _corner_slices_pk(s, c):
+    return [unpack(s[:, off * c:(off + 1) * c])
+            for off, unpack in ((0, _unpack_hi), (0, _unpack_lo),
+                                (1, _unpack_hi), (1, _unpack_lo))]
+
+
+def _fwd_body(rng_ref, w4_ref, ref_ref, out_ref, sc, corners, c, dpc, hwp,
+              inv_sqrt_c, base):
     ref = ref_ref[:]  # (hwp, c)
     # per-plane compute: keeps vector live ranges at (hwp, 4c), not (m, 4c)
-    # — full-m expressions spill ~2.5 KB/sample of vregs at scale
+    # — full-m expressions spill ~2.5 KB/sample of vregs at scale.  Planes
+    # whose group range is empty write zeros without touching the (stale)
+    # scratch; nonempty planes mask the final corr on sample validity, so
+    # stale scratch outside the range (even NaN bit patterns from
+    # uninitialized VMEM) cannot leak.
     for dp in range(dpc):
         sl = pl.ds(dp * hwp, hwp)
-        s = sc[sl, :]
-        w4 = w4_ref[sl, :]
-        warped = None
-        for j in range(4):
-            term = w4[:, j:j + 1] * s[:, j * c:(j + 1) * c]
-            warped = term if warped is None else warped + term
-        corr = jnp.sum(warped * ref, axis=1, keepdims=True) * inv_sqrt_c
-        out_ref[sl, :] = jnp.broadcast_to(corr, (hwp, 8))
+
+        @pl.when(rng_ref[1, base + dp] > rng_ref[0, base + dp])
+        def _(sl=sl):
+            s = sc[sl, :]
+            w4 = w4_ref[sl, :]
+            warped = None
+            for j, cj in enumerate(corners(s, c)):
+                term = w4[:, j:j + 1] * cj
+                warped = term if warped is None else warped + term
+            corr = jnp.sum(warped * ref, axis=1, keepdims=True) * inv_sqrt_c
+            vs = w4[:, 0:1] + w4[:, 1:2] + w4[:, 2:3] + w4[:, 3:4]
+            corr = jnp.where(vs > 0.0, corr, 0.0)
+            out_ref[sl, :] = jnp.broadcast_to(corr, (hwp, 8))
+
+        @pl.when(rng_ref[1, base + dp] <= rng_ref[0, base + dp])
+        def _(sl=sl):
+            out_ref[sl, :] = jnp.zeros((hwp, 8), jnp.float32)
 
 
-def _fwd_kernel_pk(rows_ref, w4_ref, quad_ref, ref_ref, out_ref, sc, *, c,
-                   dpc, hwp, inv_sqrt_c):
+def _fwd_kernel(rng_ref, rows_ref, w4_ref, quad_ref, ref_ref, out_ref, sc, *,
+                c, dpc, hwp, inv_sqrt_c, nchunk):
+    base = (pl.program_id(0) * nchunk + pl.program_id(1)) * dpc
+    _gather_rows(rows_ref, rng_ref, quad_ref, sc, dpc, hwp // 128, base)
+    _fwd_body(rng_ref, w4_ref, ref_ref, out_ref, sc, _corner_slices_f32, c,
+              dpc, hwp, inv_sqrt_c, base)
+
+
+def _fwd_kernel_pk(rng_ref, rows_ref, w4_ref, quad_ref, ref_ref, out_ref, sc,
+                   *, c, dpc, hwp, inv_sqrt_c, nchunk):
     """Packed-row forward: corner pairs unpacked in-register (two integer
     ops + a bitcast per corner slice)."""
-    m = dpc * hwp
-    _gather_rows(rows_ref, quad_ref, sc, m)
-    ref = ref_ref[:]  # (hwp, c)
-    for dp in range(dpc):
-        sl = pl.ds(dp * hwp, hwp)
-        s = sc[sl, :]
-        w4 = w4_ref[sl, :]
-        warped = None
-        for j, (off, unpack) in enumerate((
-            (0, _unpack_hi), (0, _unpack_lo), (1, _unpack_hi),
-            (1, _unpack_lo),
-        )):
-            term = w4[:, j:j + 1] * unpack(s[:, off * c:(off + 1) * c])
-            warped = term if warped is None else warped + term
-        corr = jnp.sum(warped * ref, axis=1, keepdims=True) * inv_sqrt_c
-        out_ref[sl, :] = jnp.broadcast_to(corr, (hwp, 8))
+    base = (pl.program_id(0) * nchunk + pl.program_id(1)) * dpc
+    _gather_rows(rows_ref, rng_ref, quad_ref, sc, dpc, hwp // 128, base)
+    _fwd_body(rng_ref, w4_ref, ref_ref, out_ref, sc, _corner_slices_pk, c,
+              dpc, hwp, inv_sqrt_c, base)
 
 
-def _bwd_kernel(rows_ref, w4_ref, g_ref, quad_ref, ref_ref, dquad_ref,
-                dref_ref, sc, *, c, dpc, hwp, inv_sqrt_c, nchunk):
-    m = dpc * hwp
+def _bwd_kernel(rng_ref, rows_ref, w4_ref, g_ref, quad_ref, ref_ref,
+                dquad_ref, dref_ref, sc, *, c, dpc, hwp, inv_sqrt_c, nchunk):
+    gpp = hwp // 128
 
     @pl.when(pl.program_id(1) == 0)
     def _():
         dquad_ref[:] = jnp.zeros_like(dquad_ref)
         dref_ref[:] = jnp.zeros_like(dref_ref)
 
-    _gather_rows(rows_ref, quad_ref, sc, m)
+    base = (pl.program_id(0) * nchunk + pl.program_id(1)) * dpc
+    _gather_rows(rows_ref, rng_ref, quad_ref, sc, dpc, gpp, base)
     ref = ref_ref[:]
     # per-plane compute (see _fwd_kernel) — full-m expressions spill vregs.
     # Each plane's gathered corners are consumed before its update rows are
-    # written, so the update rows REUSE the gather scratch in place.
+    # written, so the update rows REUSE the gather scratch in place.  Empty
+    # planes contribute exactly zero (all weights are zero) and are skipped
+    # whole; within a nonempty plane, warped is jnp.where-masked on sample
+    # validity so stale scratch outside the gathered range cannot leak into
+    # d_ref (the update rows depend on the weights only, never on scratch).
     for dp in range(dpc):
         sl = pl.ds(dp * hwp, hwp)
-        s = sc[sl, :]
-        w4 = w4_ref[sl, :]
-        warped = None
-        for j in range(4):
-            term = w4[:, j:j + 1] * s[:, j * c:(j + 1) * c]
-            warped = term if warped is None else warped + term
-        gc = g_ref[sl, :][:, 0:1] * inv_sqrt_c  # lane 0 carries the grad
-        dref_ref[:] += gc * warped
-        dw = gc * ref  # (hwp, c)
-        sc[sl, :] = jnp.concatenate(
-            [w4[:, j:j + 1] * dw for j in range(4)], axis=1)
+
+        @pl.when(rng_ref[1, base + dp] > rng_ref[0, base + dp])
+        def _(dp=dp, sl=sl):
+            s = sc[sl, :]
+            w4 = w4_ref[sl, :]
+            warped = None
+            for j in range(4):
+                term = w4[:, j:j + 1] * s[:, j * c:(j + 1) * c]
+                warped = term if warped is None else warped + term
+            vs = w4[:, 0:1] + w4[:, 1:2] + w4[:, 2:3] + w4[:, 3:4]
+            warped = jnp.where(vs > 0.0, warped, 0.0)
+            gc = g_ref[sl, :][:, 0:1] * inv_sqrt_c  # lane 0 carries the grad
+            dref_ref[:] += gc * warped
+            dw = gc * ref  # (hwp, c)
+            sc[sl, :] = jnp.concatenate(
+                [w4[:, j:j + 1] * dw for j in range(4)], axis=1)
 
     def outer(j, _):
         def inner(l, _):
@@ -225,7 +278,10 @@ def _bwd_kernel(rows_ref, w4_ref, g_ref, quad_ref, ref_ref, dquad_ref,
         jax.lax.fori_loop(0, 16, inner, 0, unroll=False)
         return 0
 
-    jax.lax.fori_loop(0, m // 128, outer, 0, unroll=False)
+    for dp in range(dpc):
+        jax.lax.fori_loop(dp * gpp + rng_ref[0, base + dp],
+                          dp * gpp + rng_ref[1, base + dp], outer, 0,
+                          unroll=False)
 
 
 # ---------------------------------------------------------------------------
@@ -258,17 +314,19 @@ def _plan(d, hwp, c, rq, bwd=False, width=None):
     return dpc
 
 
-def _run_fwd(quad, ref, rows, w4, c, d, hwp):
+def _run_fwd(quad, ref, rows, w4, rng, c, d, hwp):
     n, rq, width = quad.shape
     dpc = _plan(d, hwp, c, rq)
     nchunk = d // dpc
     m = dpc * hwp
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, c=c, dpc=dpc, hwp=hwp,
-                          inv_sqrt_c=1.0 / (c ** 0.5)),
+                          inv_sqrt_c=1.0 / (c ** 0.5), nchunk=nchunk),
         grid=(n, nchunk),
         out_shape=jax.ShapeDtypeStruct((n * d * hwp, 8), jnp.float32),
         in_specs=[
+            pl.BlockSpec(rng.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((m // 128, 128), lambda i, j: (i * nchunk + j, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((m, 4), lambda i, j: (i * nchunk + j, 0),
@@ -285,6 +343,7 @@ def _run_fwd(quad, ref, rows, w4, c, d, hwp):
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
     )(
+        rng,
         rows.reshape(-1, 128),
         w4.reshape(n * d * hwp, 4),
         quad.reshape(n * rq, width),
@@ -293,17 +352,19 @@ def _run_fwd(quad, ref, rows, w4, c, d, hwp):
     return out.reshape(n, d, hwp, 8)[..., 0]
 
 
-def _run_fwd_pk(packed, ref, rows, w4, c, d, hwp):
+def _run_fwd_pk(packed, ref, rows, w4, rng, c, d, hwp):
     n, rq, width = packed.shape  # width = 2c
     dpc = _plan(d, hwp, c, rq, width=width)
     nchunk = d // dpc
     m = dpc * hwp
     out = pl.pallas_call(
         functools.partial(_fwd_kernel_pk, c=c, dpc=dpc, hwp=hwp,
-                          inv_sqrt_c=1.0 / (c ** 0.5)),
+                          inv_sqrt_c=1.0 / (c ** 0.5), nchunk=nchunk),
         grid=(n, nchunk),
         out_shape=jax.ShapeDtypeStruct((n * d * hwp, 8), jnp.float32),
         in_specs=[
+            pl.BlockSpec(rng.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((m // 128, 128), lambda i, j: (i * nchunk + j, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((m, 4), lambda i, j: (i * nchunk + j, 0),
@@ -320,6 +381,7 @@ def _run_fwd_pk(packed, ref, rows, w4, c, d, hwp):
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
     )(
+        rng,
         rows.reshape(-1, 128),
         w4.reshape(n * d * hwp, 4),
         packed.reshape(n * rq, width),
@@ -328,7 +390,7 @@ def _run_fwd_pk(packed, ref, rows, w4, c, d, hwp):
     return out.reshape(n, d, hwp, 8)[..., 0]
 
 
-def _run_bwd(quad, ref, rows, w4, g, c, d, hwp):
+def _run_bwd(quad, ref, rows, w4, g, rng, c, d, hwp):
     n, rq, width = quad.shape
     dpc = _plan(d, hwp, c, rq, bwd=True)
     nchunk = d // dpc
@@ -344,6 +406,8 @@ def _run_bwd(quad, ref, rows, w4, g, c, d, hwp):
             jax.ShapeDtypeStruct((n * hwp, c), jnp.float32),
         ),
         in_specs=[
+            pl.BlockSpec(rng.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((m // 128, 128), lambda i, j: (i * nchunk + j, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((m, 4), lambda i, j: (i * nchunk + j, 0),
@@ -366,6 +430,7 @@ def _run_bwd(quad, ref, rows, w4, g, c, d, hwp):
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
     )(
+        rng,
         rows.reshape(-1, 128),
         w4.reshape(n * d * hwp, 4),
         g8,
@@ -383,21 +448,43 @@ def _sweep_core(src_img, ref_img, x_eff, y_eff):
     return out
 
 
+def _to_cm(a, h, w):
+    """(N, D, HW) raster (y, x) -> column-major (x, y) sample order.
+
+    The invalid (off-source-image) samples of one plane form contiguous
+    prefixes/suffixes of each output ROW (the valid region's boundaries are
+    near-vertical for translating/panning rigs), so in column-major order
+    they collapse into the flat scan's prefix/suffix — measured on the
+    indoor 40-view rig, the _plane_ranges clamp skips 34% of 128-sample
+    groups in this order vs 5.9% in raster order (the copy loop is
+    issue-bound, not cache-bound, so the ordering itself is free)."""
+    n, d, hw = a.shape
+    return a.reshape(n, d, h, w).swapaxes(2, 3).reshape(n, d, hw)
+
+
+def _from_cm(a, h, w):
+    n, d, hw = a.shape
+    return a.reshape(n, d, w, h).swapaxes(2, 3).reshape(n, d, hw)
+
+
 def _sweep_fwd(src_img, ref_img, x_eff, y_eff):
     n, h, w, c = src_img.shape
     d, hw = x_eff.shape[1:]
     hwp = _round_up(hw, 1024)
-    rows, w4 = _sweep_rows_weights(x_eff, y_eff, h, w, hwp)
-    ref = ref_img.astype(jnp.float32).reshape(n, hw, c)
+    rows, w4 = _sweep_rows_weights(_to_cm(x_eff, h, w), _to_cm(y_eff, h, w),
+                                   h, w, hwp)
+    rng = _plane_ranges(w4, n, d, hwp)
+    ref = jnp.swapaxes(ref_img.astype(jnp.float32), 1, 2).reshape(n, hw, c)
     if hwp != hw:
         ref = jnp.pad(ref, ((0, 0), (0, hwp - hw), (0, 0)))
     if src_img.dtype == jnp.bfloat16:
         # bf16-packed quad rows: HALF the gather bytes, lossless for bf16
         out = _run_fwd_pk(_build_quad_packed_value(src_img), ref, rows, w4,
-                          c, d, hwp)
+                          rng, c, d, hwp)
     else:
-        out = _run_fwd(_build_quad_value(src_img), ref, rows, w4, c, d, hwp)
-    return out[..., :hw], (src_img, ref_img, x_eff, y_eff)
+        out = _run_fwd(_build_quad_value(src_img), ref, rows, w4, rng, c, d,
+                       hwp)
+    return _from_cm(out[..., :hw], h, w), (src_img, ref_img, x_eff, y_eff)
 
 
 def _sweep_bwd(res, g):
@@ -406,12 +493,15 @@ def _sweep_bwd(res, g):
     d, hw = x_eff.shape[1:]
     hwp = _round_up(hw, 1024)
     quad = _build_quad_value(src_img)
-    rows, w4 = _sweep_rows_weights(x_eff, y_eff, h, w, hwp)
-    ref = ref_img.astype(jnp.float32).reshape(n, hw, c)
+    rows, w4 = _sweep_rows_weights(_to_cm(x_eff, h, w), _to_cm(y_eff, h, w),
+                                   h, w, hwp)
+    rng = _plane_ranges(w4, n, d, hwp)
+    ref = jnp.swapaxes(ref_img.astype(jnp.float32), 1, 2).reshape(n, hw, c)
+    g = _to_cm(g, h, w)
     if hwp != hw:
         ref = jnp.pad(ref, ((0, 0), (0, hwp - hw), (0, 0)))
         g = jnp.pad(g, ((0, 0), (0, 0), (0, hwp - hw)))
-    dquad, dref = _run_bwd(quad, ref, rows, w4, g, c, d, hwp)
+    dquad, dref = _run_bwd(quad, ref, rows, w4, g, rng, c, d, hwp)
 
     # un-quad: pixel (y, x) sums its four corner slots from neighboring rows
     dquad = dquad[:, : (h + 1) * (w + 1)].reshape(n, h + 1, w + 1, 4 * c)
@@ -419,7 +509,7 @@ def _sweep_bwd(res, g):
     d_src = (
         cA[:, 1:, 1:] + cB[:, 1:, :-1] + cC[:, :-1, 1:] + cD[:, :-1, :-1]
     )
-    d_ref = dref[:, :hw].reshape(n, h, w, c)
+    d_ref = jnp.swapaxes(dref[:, :hw].reshape(n, w, h, c), 1, 2)
     return (d_src.astype(src_img.dtype), d_ref.astype(ref_img.dtype),
             None, None)
 
