@@ -89,6 +89,13 @@ _RESULT = {
                              "budget (bit-identical to dense)",
         "value_kind": "cached_2026-08-19",
         "baseline_scenes_per_sec_40views_rtx3090_est": REF_EST_40VIEW,
+        # cross-scene pipelining A/B (round-3 verdict 2a): measured NEGATIVE
+        # on the v5e 2026-08-20 (experiments/bench_batch2.py) — 2-scene
+        # jit(vmap) runs 339.0 ms = 5.90 scenes/s vs 2x155.8 ms single
+        # (0.919x); one TPU core executes one program serially, so there is
+        # no idle engine for the trunk/lifting overlap.  Not shipped.
+        "batch2_scenes_per_sec_measured_2026_08_20": 5.90,
+        "batch2_verdict": "negative_0.92x_vs_2x_single_not_shipped",
         "measured_live_keys": [],
         **CACHED,
     },

@@ -10,6 +10,12 @@ occupies the core even though the MXU idles, so the overlap is only real
 if XLA's scheduler interleaves independent HLOs' DMA phases.  This measures
 it directly: jit(vmap(fwd)) over 2 stacked scenes vs 2x jit(fwd).
 
+MEASURED (v5e, 2026-08-20, 40 views, indoor+auto budget): single scene
+155.8 ms (6.417 scenes/s); 2-scene vmap 339.0 ms = 5.900 scenes/s =
+**0.919x vs 2x single** — a clean NEGATIVE.  There is no idle engine to
+overlap into; vmap only doubles each op's working set (slightly hurting
+the gather kernels' locality).  Not shipped anywhere.
+
 Run: python -m experiments.bench_batch2 [n_views]
 """
 import dataclasses

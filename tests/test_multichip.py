@@ -13,7 +13,9 @@ def test_dryrun_multichip_8dev():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
 
-    ge.dryrun_multichip(8)  # asserts finite loss internally
+    # _exit=False: the driver path leaves via os._exit(0) (teardown-hang
+    # hardening); in-process the test must keep the pytest process alive
+    ge.dryrun_multichip(8, _exit=False)  # asserts finite loss internally
 
 
 def test_view_sharded_train_matches_unsharded():
