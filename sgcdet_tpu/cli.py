@@ -56,6 +56,10 @@ def parse_args(argv=None):
                         "(see utils/visibility.py)")
     p.add_argument("--visibility_scan_scenes", type=int, default=200,
                    help="scenes sampled for --visibility_budget auto")
+    p.add_argument("--override", action="append", default=[],
+                   help="config override 'section.key=value' (repeatable; "
+                        "values parsed as Python literals) — the analog of "
+                        "the reference CLI's config merge (main.py:28-30)")
     p.add_argument("--sweep_band", default=None,
                    help="banded-Gram plane-sweep source-row band: an int, or "
                         "'auto' to derive the exact band from the dataset's "
@@ -233,7 +237,10 @@ def main(argv=None):
     from .train.checkpoint import load_torch_checkpoint, save_checkpoint
     from .train.loop import init_train_state, make_train_step
 
+    from .configs import apply_overrides
+
     config = get_config(args.config)
+    config = apply_overrides(config, args.override)
     if args.data_root:
         config = dataclasses.replace(
             config, data=dataclasses.replace(config.data, data_root=args.data_root)
@@ -350,6 +357,12 @@ def main(argv=None):
             print(f"resumed from {last} (step {int(state.step)})", flush=True)
 
     if args.mode in ("eval", "show"):
+        if args.ckpt_path:
+            # the reference's eval restore (trainer.test(ckpt_path=...),
+            # main.py:97)
+            from .train.checkpoint import restore_checkpoint
+
+            state = restore_checkpoint(args.ckpt_path, state)
         val_ds, _ = build_dataset_and_loader(config, False, 1, 0, args.seed)
         show_dir = None
         if args.mode == "show":

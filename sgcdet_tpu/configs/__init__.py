@@ -9,6 +9,7 @@ from .config import (
     scannet200_large,
     arkit_large,
     get_config,
+    apply_overrides,
 )
 
 __all__ = [
@@ -22,4 +23,5 @@ __all__ = [
     "scannet200_large",
     "arkit_large",
     "get_config",
+    "apply_overrides",
 ]

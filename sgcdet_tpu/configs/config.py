@@ -100,6 +100,13 @@ class ModelConfig:
     downsample_factor: int = 8
     depth_loss_weight: float = 0.5
     depth_max_tol: int = 0
+    # rematerialize the depth net in the backward.  The original motivation
+    # (plane-sweep warps ~1 GB/neighbor) is gone — the fused sweep kernels
+    # never materialize the warp volume and their VJP regathers rows
+    # internally — so at base scale this only re-runs the whole depth
+    # forward (~60 ms) inside the backward.  Kept available for the -L
+    # configs / 100-view training where activation memory binds.
+    depth_remat: bool = False
     # attention
     num_heads: int = 8
     num_points: int = 4
@@ -274,3 +281,38 @@ def get_config(name: str) -> SGCDetConfig:
     if name not in _REGISTRY:
         raise KeyError(f"unknown config '{name}'; available: {sorted(_REGISTRY)}")
     return _REGISTRY[name]()
+
+
+def apply_overrides(config: SGCDetConfig, overrides) -> SGCDetConfig:
+    """Apply ``section.key=value`` strings onto a (frozen) config.
+
+    The TPU-native analog of the reference CLI's config merge
+    (/root/reference/main.py:28-30, ``cfg.update(vars(args))``): values are
+    parsed with ast.literal_eval (falling back to the raw string), and dotted
+    paths descend nested dataclasses, e.g.
+    ``model.embed_dims=32`` or ``model.test_cfg.nms_pre=100``.
+    """
+    import ast
+
+    def set_path(obj, path, value):
+        key = path[0]
+        if not hasattr(obj, key):
+            raise KeyError(
+                f"config has no field '{key}' at {type(obj).__name__}"
+            )
+        if len(path) == 1:
+            return dataclasses.replace(obj, **{key: value})
+        return dataclasses.replace(
+            obj, **{key: set_path(getattr(obj, key), path[1:], value)}
+        )
+
+    for item in overrides or ():
+        path_s, _, value_s = item.partition("=")
+        if not _:
+            raise ValueError(f"override '{item}' is not of the form key=value")
+        try:
+            value = ast.literal_eval(value_s)
+        except (ValueError, SyntaxError):
+            value = value_s
+        config = set_path(config, path_s.strip().split("."), value)
+    return config

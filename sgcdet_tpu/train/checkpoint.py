@@ -33,9 +33,13 @@ def save_checkpoint(path, state, step=None):
     """
     import os
 
+    path = os.path.abspath(path)  # orbax rejects relative paths
     n = int(step if step is not None else state.step)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(f"{path}/step_{n}", jax.tree_util.tree_map(np.asarray, state))
+    # force: the post-loop final save may coincide with the last epoch save
+    # (same step) — overwrite rather than crash
+    ckptr.save(f"{path}/step_{n}", jax.tree_util.tree_map(np.asarray, state),
+               force=True)
     ckptr.wait_until_finished()
     tmp = f"{path}/last.tmp"
     with open(tmp, "w") as f:
@@ -66,8 +70,10 @@ def latest_checkpoint(path):
 
 
 def restore_checkpoint(path, abstract_state):
+    import os
+
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(path, abstract_state)
+    return ckptr.restore(os.path.abspath(path), abstract_state)
 
 
 # ---------------------------------------------------------------------------
