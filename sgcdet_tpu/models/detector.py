@@ -53,9 +53,12 @@ class SGCDet(nn.Module):
             dpt_dist = d.reshape(n, h4, w4, cfg.depth_channels).transpose(0, 3, 1, 2)
         else:
             depth_in = jax.lax.stop_gradient(feats[0]) if cfg.depth_loss else feats[0]
-            # remat: the plane-sweep warps are ~1 GB activations per neighbor;
-            # recompute them in the backward instead of saving
-            DepthNetRemat = nn.remat(DepthNetFusion, static_argnums=(4,))
+            # optional remat (cfg.depth_remat): recompute the depth net in
+            # the backward instead of saving its activations — only worth it
+            # when activation memory binds (-L / 100-view training); the
+            # fused sweep kernels already regather rows in their VJP
+            DepthNetRemat = (nn.remat(DepthNetFusion, static_argnums=(4,))
+                             if cfg.depth_remat else DepthNetFusion)
             dpt_dist = DepthNetRemat(
                 dbound=cfg.dbound,
                 neighbor_img_num=cfg.neighbor_img_num,
