@@ -39,6 +39,7 @@ _QUICK_MODULES = {
     "test_nms", "test_indoor_eval", "test_boxes", "test_geometry",
     "test_golden_mmdet3d", "test_visibility_budget", "test_aux_paths",
     "test_bilinear_patch", "test_loader_workers", "test_use_depth_false",
+    "test_config_overrides",
 }
 
 
