@@ -147,6 +147,8 @@ def _gather_rows(rows_ref, rng_ref, img_ref, sc, dpc, gpp, pbase):
     # group range [lo, hi) is gathered; scratch rows outside it keep STALE
     # contents (possibly uninitialized VMEM), so callers must jnp.where-mask
     # the per-sample epilogue on the validity of the bilinear weights.
+    gw = img_ref.shape[1]  # gather rows land in the first gw scratch lanes
+
     def outer(j, _):
         def inner(l, _):
             base = pl.multiple_of(j * 128 + l * 8, 8)
@@ -154,7 +156,7 @@ def _gather_rows(rows_ref, rng_ref, img_ref, sc, dpc, gpp, pbase):
                 img_ref[pl.ds(rows_ref[j, l * 8 + s], 1), :]
                 for s in range(8)
             ]
-            sc[pl.ds(base, 8), :] = jnp.concatenate(rows, axis=0)
+            sc[pl.ds(base, 8), :gw] = jnp.concatenate(rows, axis=0)
             return 0
 
         jax.lax.fori_loop(0, 16, inner, 0, unroll=False)
@@ -230,7 +232,15 @@ def _fwd_kernel_pk(rng_ref, rows_ref, w4_ref, quad_ref, ref_ref, out_ref, sc,
 
 
 def _bwd_kernel(rng_ref, rows_ref, w4_ref, g_ref, quad_ref, ref_ref,
-                dquad_ref, dref_ref, sc, *, c, dpc, hwp, inv_sqrt_c, nchunk):
+                dquad_ref, dref_ref, sc, scu, *, c, dpc, hwp, inv_sqrt_c,
+                nchunk, corners=_corner_slices_f32):
+    """Shared backward body.  ``corners`` selects the gather layout: f32
+    quad rows (scratch width 4c; scu IS sc — the update rows reuse the
+    gather scratch in place, each plane's gathered corners are consumed
+    before its overwrite) or bf16-packed rows (scratch width 2c — HALF the
+    gather copy lanes; the f32 update rows live in the separate ``scu``
+    scratch, keeping every dynamic-sublane access at lane offset 0, which is
+    all Mosaic supports)."""
     gpp = hwp // 128
 
     @pl.when(pl.program_id(1) == 0)
@@ -242,12 +252,11 @@ def _bwd_kernel(rng_ref, rows_ref, w4_ref, g_ref, quad_ref, ref_ref,
     _gather_rows(rows_ref, rng_ref, quad_ref, sc, dpc, gpp, base)
     ref = ref_ref[:]
     # per-plane compute (see _fwd_kernel) — full-m expressions spill vregs.
-    # Each plane's gathered corners are consumed before its update rows are
-    # written, so the update rows REUSE the gather scratch in place.  Empty
-    # planes contribute exactly zero (all weights are zero) and are skipped
-    # whole; within a nonempty plane, warped is jnp.where-masked on sample
-    # validity so stale scratch outside the gathered range cannot leak into
-    # d_ref (the update rows depend on the weights only, never on scratch).
+    # Empty planes contribute exactly zero (all weights are zero) and are
+    # skipped whole; within a nonempty plane, warped is jnp.where-masked on
+    # sample validity so stale scratch outside the gathered range cannot leak
+    # into d_ref (the update rows depend on the weights only, never on
+    # scratch).
     for dp in range(dpc):
         sl = pl.ds(dp * hwp, hwp)
 
@@ -256,22 +265,22 @@ def _bwd_kernel(rng_ref, rows_ref, w4_ref, g_ref, quad_ref, ref_ref,
             s = sc[sl, :]
             w4 = w4_ref[sl, :]
             warped = None
-            for j in range(4):
-                term = w4[:, j:j + 1] * s[:, j * c:(j + 1) * c]
+            for j, cj in enumerate(corners(s, c)):
+                term = w4[:, j:j + 1] * cj
                 warped = term if warped is None else warped + term
             vs = w4[:, 0:1] + w4[:, 1:2] + w4[:, 2:3] + w4[:, 3:4]
             warped = jnp.where(vs > 0.0, warped, 0.0)
             gc = g_ref[sl, :][:, 0:1] * inv_sqrt_c  # lane 0 carries the grad
             dref_ref[:] += gc * warped
             dw = gc * ref  # (hwp, c)
-            sc[sl, :] = jnp.concatenate(
+            scu[sl, :] = jnp.concatenate(
                 [w4[:, j:j + 1] * dw for j in range(4)], axis=1)
 
     def outer(j, _):
         def inner(l, _):
             base = j * 128 + l * 8
             for s in range(8):
-                dquad_ref[pl.ds(rows_ref[j, l * 8 + s], 1), :] += sc[
+                dquad_ref[pl.ds(rows_ref[j, l * 8 + s], 1), :] += scu[
                     pl.ds(base + s, 1), :]
             return 0
 
@@ -289,23 +298,26 @@ def _bwd_kernel(rng_ref, rows_ref, w4_ref, g_ref, quad_ref, ref_ref,
 # ---------------------------------------------------------------------------
 
 
-def _plan(d, hwp, c, rq, bwd=False, width=None):
+def _plan(d, hwp, c, rq, bwd=False, width=None, scw=None):
     """Planes per grid step, from explicit VMEM accounting (measured against
     the compiler's scoped-vmem dumps): grid-indexed windows are
-    double-buffered AND lane-padded to 128, the gather scratch (dpc*hwp, width)
-    f32 (twice for bwd, which also stages update rows) is single-buffered,
-    and one plane's compute live range rides the register spill slots."""
+    double-buffered AND lane-padded to 128, the gather scratch (dpc*hwp, scw)
+    f32 is single-buffered, and one plane's compute live range rides the
+    register spill slots.  ``width`` is the gather-row (quad image) width;
+    ``scw`` the scratch width (defaults to width; the packed bwd stages
+    2c-gathers AND 4c-update rows in one scratch, scw = 6c)."""
     width = 4 * c if width is None else width
+    scw = width if scw is None else scw
     limit = 96e6  # headroom under the 128 MB scoped capacity
 
     def vmem(dpc):
         m = dpc * hwp
         fixed = 2 * (rq * width + hwp * 128) * 4  # quad + ref windows
         per_step = 2 * m * 128 * 4  # w4 + out/g windows, lane-padded
-        scratch = m * width * 4
-        spill = 2 * hwp * width * 4  # one plane's live vectors
+        scratch = m * scw * 4
+        spill = 2 * hwp * max(width, 4 * c if bwd else 0) * 4
         if bwd:
-            fixed += 2 * (rq * width + hwp * 128) * 4  # dquad + dref outputs
+            fixed += 2 * (rq * 4 * c + hwp * 128) * 4  # dquad + dref outputs
         return fixed + 2 * per_step + scratch + spill
 
     dpc = max(1, d)
@@ -390,19 +402,32 @@ def _run_fwd_pk(packed, ref, rows, w4, rng, c, d, hwp):
     return out.reshape(n, d, hwp, 8)[..., 0]
 
 
-def _run_bwd(quad, ref, rows, w4, g, rng, c, d, hwp):
-    n, rq, width = quad.shape
-    dpc = _plan(d, hwp, c, rq, bwd=True)
+def _bwd_kernel_inplace(rng, rows, w4, g, quad, ref, dquad, dref, sc, **kw):
+    _bwd_kernel(rng, rows, w4, g, quad, ref, dquad, dref, sc, sc, **kw)
+
+
+def _run_bwd(quad, ref, rows, w4, g, rng, c, d, hwp, packed=False):
+    n, rq, width = quad.shape  # width = 2c (packed) or 4c (f32 quad)
+    # packed: 2c gather scratch + separate 4c update scratch
+    scw = width + 4 * c if packed else width
+    dpc = _plan(d, hwp, c, rq, bwd=True, width=width, scw=scw)
     nchunk = d // dpc
     m = dpc * hwp
     g8 = jnp.broadcast_to(g.astype(jnp.float32)[..., None],
                           g.shape + (8,)).reshape(n * d * hwp, 8)
+    if packed:
+        kernel = functools.partial(_bwd_kernel, corners=_corner_slices_pk)
+        scratch = [pltpu.VMEM((m, width), jnp.float32),
+                   pltpu.VMEM((m, 4 * c), jnp.float32)]
+    else:
+        kernel = _bwd_kernel_inplace
+        scratch = [pltpu.VMEM((m, width), jnp.float32)]
     dquad, dref = pl.pallas_call(
-        functools.partial(_bwd_kernel, c=c, dpc=dpc, hwp=hwp,
+        functools.partial(kernel, c=c, dpc=dpc, hwp=hwp,
                           inv_sqrt_c=1.0 / (c ** 0.5), nchunk=nchunk),
         grid=(n, nchunk),
         out_shape=(
-            jax.ShapeDtypeStruct((n * rq, width), jnp.float32),
+            jax.ShapeDtypeStruct((n * rq, 4 * c), jnp.float32),
             jax.ShapeDtypeStruct((n * hwp, c), jnp.float32),
         ),
         in_specs=[
@@ -420,12 +445,12 @@ def _run_bwd(quad, ref, rows, w4, g, rng, c, d, hwp):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((rq, width), lambda i, j: (i, 0),
+            pl.BlockSpec((rq, 4 * c), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((hwp, c), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[pltpu.VMEM((m, width), jnp.float32)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
@@ -437,7 +462,7 @@ def _run_bwd(quad, ref, rows, w4, g, rng, c, d, hwp):
         quad.reshape(n * rq, width),
         ref.reshape(n * hwp, c),
     )
-    return dquad.reshape(n, rq, width), dref.reshape(n, hwp, c)
+    return dquad.reshape(n, rq, 4 * c), dref.reshape(n, hwp, c)
 
 
 @jax.custom_vjp
@@ -492,7 +517,12 @@ def _sweep_bwd(res, g):
     n, h, w, c = src_img.shape
     d, hw = x_eff.shape[1:]
     hwp = _round_up(hw, 1024)
-    quad = _build_quad_value(src_img)
+    # bf16 inputs gather bf16-packed rows (half the copy lanes, losslessly
+    # — the f32 quad of a bf16 image carries the same values); the update
+    # rows / dquad accumulation stay f32 4c either way
+    packed = src_img.dtype == jnp.bfloat16
+    quad = (_build_quad_packed_value(src_img) if packed
+            else _build_quad_value(src_img))
     rows, w4 = _sweep_rows_weights(_to_cm(x_eff, h, w), _to_cm(y_eff, h, w),
                                    h, w, hwp)
     rng = _plane_ranges(w4, n, d, hwp)
@@ -501,7 +531,8 @@ def _sweep_bwd(res, g):
     if hwp != hw:
         ref = jnp.pad(ref, ((0, 0), (0, hwp - hw), (0, 0)))
         g = jnp.pad(g, ((0, 0), (0, 0), (0, hwp - hw)))
-    dquad, dref = _run_bwd(quad, ref, rows, w4, g, rng, c, d, hwp)
+    dquad, dref = _run_bwd(quad, ref, rows, w4, g, rng, c, d, hwp,
+                           packed=packed)
 
     # un-quad: pixel (y, x) sums its four corner slots from neighboring rows
     dquad = dquad[:, : (h + 1) * (w + 1)].reshape(n, h + 1, w + 1, 4 * c)
