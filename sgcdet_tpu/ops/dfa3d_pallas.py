@@ -603,13 +603,21 @@ def _pick_qb(k, heads, p, target=4096):
     return max_qb
 
 
-def _pick_cam_chunk(n, samples_per_cam, limit=10, sample_budget=4 << 20):
+def _pick_cam_chunk(n, samples_per_cam, limit=None, sample_budget=16 << 20):
     """Cameras are processed in lax.map chunks so the pair image / gradient
-    image / prep arrays only materialize for `chunk` cameras at a time (the
-    full 40-100 camera backward would need several GB of HBM otherwise).
-    The chunk also caps total samples (SGCDet-L has 1.6M samples/camera at
-    the finest level — even two cameras of prep arrays are GB-scale)."""
-    limit = max(1, min(limit, sample_budget // max(samples_per_cam, 1)))
+    image / prep arrays only materialize for `chunk` cameras at a time
+    (SGCDet-L has 1.6M samples/camera at the finest level; prep+grad arrays
+    run ~150 B/sample).  The budget is deliberately generous: every lax.map
+    iteration pays ~4-5 ms of while-loop machinery on this backend (operand
+    dynamic-slice copies + per-iteration sync — measured via jax.profiler at
+    the ScanNet L2 shape, where 4 iterations cost 22 ms with every kernel
+    block SKIPPED, docs/roadmap.md round-5), so chunking is worth it only
+    when the alternative is GB-scale HBM.  16M samples ~ 2.4 GB prep leaves
+    the ScanNet base model (5.9M samples at 40 views, 14.7M at the released
+    100-view eval) UNCHUNKED; the backward call sites pass 8M (grad arrays
+    double the footprint)."""
+    limit = max(1, min(n if limit is None else limit,
+                       sample_budget // max(samples_per_cam, 1)))
     for cand in range(min(limit, n), 0, -1):
         if n % cand == 0:
             return cand
@@ -689,7 +697,7 @@ def _bwd_impl(value_img, dpt_img, sampling_locations, attention_weights, g,
               num_heads, counts=None):
     n, k = sampling_locations.shape[:2]
     hp = sampling_locations.shape[2] * sampling_locations.shape[3]
-    chunk = _pick_cam_chunk(n, k * hp)
+    chunk = _pick_cam_chunk(n, k * hp, sample_budget=8 << 20)
     if chunk == n:
         return _bwd_cams(value_img, dpt_img, sampling_locations,
                          attention_weights, g, num_heads, counts=counts)

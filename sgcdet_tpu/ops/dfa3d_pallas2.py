@@ -240,8 +240,8 @@ def _point_contrib(s, winfo, c, d_size, qb):
     return contrib, dvec, ds_list, vals
 
 
-def _fwd_kernel_v2(counts_ref, rows_ref, winfo_ref, img_ref, out_ref, *scs,
-                   c, p, qb, d_size, heads):
+def _fwd_kernel_v2(counts_ref, rows_hbm, winfo_ref, img_ref, out_ref,
+                   *scratch, c, p, qb, d_size, heads, nblk):
     # data-dependent block skip: the budget compaction packs each camera's
     # visible queries FIRST, so a whole query block past the camera's actual
     # visible count contributes nothing downstream (its outputs are masked
@@ -249,32 +249,56 @@ def _fwd_kernel_v2(counts_ref, rows_ref, winfo_ref, img_ref, out_ref, *scs,
     # This is the TPU-native analog of the reference's dynamic rebatching
     # (deformable_cross_attention.py:759-783): static padded shapes, compute
     # scaling with the ACTUAL per-camera visibility.
+    #
+    # Narrow-operand layout (round-5 find, docs/roadmap.md): window DMAs pay
+    # a per-ROW descriptor tax, so a (m, 8) winfo window streams at ~32 B/row
+    # rate (~11 ms/call at the ScanNet L2 shape, invariant to qb) and the
+    # (qb, c) out window ~3 ms — together most of the counted forward.
+    # Fix: winfo arrives TRANSPOSED as an (8, m) window (wide rows, ~2.6 ms)
+    # and is transposed back per point in-register (tpu transpose,
+    # ~0.13 us/step); out is written transposed as (c, qb) the same way.
+    # Row indices live in HBM (pl.ANY), DMA'd to SMEM only for ACTIVE blocks
+    # (their natural SMEM window cost ~22 ms/call regardless of skip).
+    scs = scratch[:p]
+    rows_sm, sem = scratch[p], scratch[p + 1]
     cam = pl.program_id(0) // heads
     rem = counts_ref[0, cam] - pl.program_id(1) * qb
     active = rem > 0
 
     @pl.when(active)
     def _():
+        gseg = rows_sm.shape[0]  # m // 128
+        blk = pl.program_id(0) * nblk + pl.program_id(1)
+        cp_r = pltpu.make_async_copy(
+            rows_hbm.at[pl.ds(blk * gseg, gseg), :], rows_sm, sem)
+        cp_r.start()
+        cp_r.wait()
         # partial-block clamp: gather only ceil(rem/128) query groups; rows
         # past them are computed from stale scratch and MASKED below
         seg_act = jnp.minimum(qb // 128, (rem + 127) // 128)
-        _gather_loop_v2(rows_ref, img_ref, scs, qb, seg_act)
+        _gather_loop_v2(rows_sm, img_ref, scs, qb, seg_act)
         acc = None
         for j in range(p):
-            winfo = winfo_ref[j * qb:(j + 1) * qb, :]
+            winfo = jnp.transpose(winfo_ref[:, j * qb:(j + 1) * qb])
             contrib, _, _, _ = _point_contrib(scs[j][:], winfo, c, d_size, qb)
             acc = contrib if acc is None else acc + contrib
         rowmask = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 0) < rem
-        out_ref[:] = jnp.where(rowmask, acc, 0.0)
+        out_ref[:] = jnp.transpose(jnp.where(rowmask, acc, 0.0))
 
     @pl.when(jnp.logical_not(active))
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
 
-def _bwd_kernel_v2(counts_ref, rows_ref, winfo_ref, g_ref, img_ref, dimg_ref,
-                   dw4_ref, ddvec_ref, *scratch, c, p, qb, d_size, heads):
-    scs, us = scratch[:p], scratch[p:]
+def _bwd_kernel_v2(counts_ref, rows_hbm, winfo_ref, g_ref, img_ref, dimg_ref,
+                   dw4_ref, ddvec_ref, *scratch, c, p, qb, d_size, heads,
+                   nblk):
+    # Narrow operands ride TRANSPOSED windows (winfo (8, m), g (c, qb)) and
+    # are transposed back in-register; the narrow grad outputs are written
+    # transposed the same way (dw4 (4p, qb), ddvec (d_size*p, qb)) — see
+    # _fwd_kernel_v2.  Rows stay in HBM with an active-only SMEM DMA.
+    scs, us = scratch[:p], scratch[p:2 * p]
+    rows_sm, sem = scratch[2 * p], scratch[2 * p + 1]
 
     @pl.when(pl.program_id(1) == 0)
     def _():
@@ -294,32 +318,43 @@ def _bwd_kernel_v2(counts_ref, rows_ref, winfo_ref, g_ref, img_ref, dimg_ref,
 
     @pl.when(active)
     def _():
+        gseg = rows_sm.shape[0]  # m // 128
+        blk = pl.program_id(0) * nblk + pl.program_id(1)
+        cp_r = pltpu.make_async_copy(
+            rows_hbm.at[pl.ds(blk * gseg, gseg), :], rows_sm, sem)
+        cp_r.start()
+        cp_r.wait()
         seg = qb // 128
         # partial-block clamp: gather/scatter only ceil(rem/128) query
         # groups; rows past rem use stale scratch and are masked with
         # jnp.where (NOT a multiply — NaN bit patterns from uninitialized
         # VMEM must not leak)
         seg_act = jnp.minimum(seg, (rem + 127) // 128)
-        _gather_loop_v2(rows_ref, img_ref, scs, qb, seg_act)
-        g = g_ref[:]  # (qb, c)
+        _gather_loop_v2(rows_sm, img_ref, scs, qb, seg_act)
+        g = jnp.transpose(g_ref[:])  # (qb, c)
         rowmask = jax.lax.broadcasted_iota(jnp.int32, (qb, 1), 0) < rem
+        dpad = _round_up(d_size, 8)  # 8-sublane-aligned per-point regions
         for j in range(p):
             s = scs[j][:]
-            winfo = winfo_ref[j * qb:(j + 1) * qb, :]
+            winfo = jnp.transpose(winfo_ref[:, j * qb:(j + 1) * qb])
             _, dvec, ds_list, vals = _point_contrib(s, winfo, c, d_size, qb)
             t_list = [jnp.sum(v * g, axis=1, keepdims=True) for v in vals]
-            dw4_ref[j * qb:(j + 1) * qb, :] = jnp.where(
+            dw4v = jnp.where(
                 rowmask,
                 jnp.concatenate(
                     [ds_list[i] * t_list[i] for i in range(4)], axis=1),
                 0.0,
             )
+            dw4_ref[j * 8:(j + 1) * 8, :] = jnp.transpose(
+                jnp.pad(dw4v, ((0, 0), (0, 4))))
             ddvec = None
             for i in range(4):
                 dj = s[:, 4 * c + i * d_size: 4 * c + (i + 1) * d_size]
                 term = (winfo[:, i:i + 1] * t_list[i]) * dj
                 ddvec = term if ddvec is None else ddvec + term
-            ddvec_ref[j * qb:(j + 1) * qb, :] = jnp.where(rowmask, ddvec, 0.0)
+            ddvec_ref[j * dpad:(j + 1) * dpad, :] = jnp.transpose(
+                jnp.pad(jnp.where(rowmask, ddvec, 0.0),
+                        ((0, 0), (0, dpad - d_size))))
             us[j][:] = jnp.where(
                 rowmask,
                 jnp.concatenate(
@@ -338,7 +373,7 @@ def _bwd_kernel_v2(counts_ref, rows_ref, winfo_ref, g_ref, img_ref, dimg_ref,
                 i = base + l * 2
                 for t in range(2):
                     for pt in range(p):
-                        dimg_ref[pl.ds(rows_ref[pt * seg + j, l * 2 + t], 1), :] += \
+                        dimg_ref[pl.ds(rows_sm[pt * seg + j, l * 2 + t], 1), :] += \
                             us[pt][pl.ds(i + t, 1), :]
                 return 0
 
@@ -393,58 +428,69 @@ def _run_fwd_v2(quad, rows, winfo, heads, c, p, qb, d_size, counts_sm):
     rq = quad.shape[1]
     width = 4 * (c + d_size)
     n_cams = counts_sm.shape[1]
+    # winfo transposed to (8, m) wide-row windows; out comes back (c, qb)
+    # per block (see _fwd_kernel_v2's narrow-operand note)
+    winfo_t = jnp.swapaxes(winfo.reshape(nh * nblk, m, 8), 1, 2)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel_v2, c=c, p=p, qb=qb, d_size=d_size,
-                          heads=heads),
+                          heads=heads, nblk=nblk),
         grid=(nh, nblk),
-        out_shape=jax.ShapeDtypeStruct((nh * nblk * qb, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nh * nblk * c, qb), jnp.float32),
         in_specs=[
             pl.BlockSpec((1, n_cams), lambda ci, bi: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((m // 128, 128), lambda ci, bi: (ci * nblk + bi, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((m, 8), lambda ci, bi: (ci * nblk + bi, 0),
+            pl.BlockSpec(memory_space=pl.ANY),  # rows stay in HBM
+            pl.BlockSpec((8, m), lambda ci, bi: (ci * nblk + bi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rq, width), lambda ci, bi: (ci, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((qb, c), lambda ci, bi: (ci * nblk + bi, 0),
+        out_specs=pl.BlockSpec((c, qb), lambda ci, bi: (ci * nblk + bi, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((qb, width), jnp.float32) for _ in range(p)],
+        scratch_shapes=[pltpu.VMEM((qb, width), jnp.float32)
+                        for _ in range(p)]
+        + [pltpu.SMEM((m // 128, 128), jnp.int32),
+           pltpu.SemaphoreType.DMA],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=118 * 1024 * 1024,
         ),
     )(
         counts_sm,
         rows.reshape(-1, 128),
-        winfo.reshape(nh * nblk * m, 8),
+        winfo_t.reshape(nh * nblk * 8, m),
         quad.reshape(nh * rq, width),
     )
-    return out  # (nh*nblk*qb, c)
+    out = jnp.swapaxes(out.reshape(nh * nblk, c, qb), 1, 2)
+    return out.reshape(nh * nblk * qb, c)
 
 
 def _run_bwd_v2(quad, rows, winfo, g, heads, c, p, qb, d_size, counts_sm):
     nh, nblk, m = rows.shape
     rq = quad.shape[1]
     width = 4 * (c + d_size)
+    dpad = _round_up(d_size, 8)
     n_cams = counts_sm.shape[1]
+    # winfo/g transposed to wide-row windows; dw4/ddvec come back transposed
+    # per (block, point) and are un-transposed here (XLA transposes run at
+    # HBM speed) — see _fwd_kernel_v2's narrow-operand note
+    winfo_t = jnp.swapaxes(winfo.reshape(nh * nblk, m, 8), 1, 2)
+    g_t = jnp.swapaxes(g.reshape(nh * nblk, qb, c), 1, 2)
     dquad, dw4, ddvec = pl.pallas_call(
         functools.partial(_bwd_kernel_v2, c=c, p=p, qb=qb, d_size=d_size,
-                          heads=heads),
+                          heads=heads, nblk=nblk),
         grid=(nh, nblk),
         out_shape=(
             jax.ShapeDtypeStruct((nh * rq, width), jnp.float32),
-            jax.ShapeDtypeStruct((nh * nblk * m, 4), jnp.float32),
-            jax.ShapeDtypeStruct((nh * nblk * m, d_size), jnp.float32),
+            jax.ShapeDtypeStruct((nh * nblk * 8 * p, qb), jnp.float32),
+            jax.ShapeDtypeStruct((nh * nblk * dpad * p, qb), jnp.float32),
         ),
         in_specs=[
             pl.BlockSpec((1, n_cams), lambda ci, bi: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((m // 128, 128), lambda ci, bi: (ci * nblk + bi, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((m, 8), lambda ci, bi: (ci * nblk + bi, 0),
+            pl.BlockSpec(memory_space=pl.ANY),  # rows stay in HBM
+            pl.BlockSpec((8, m), lambda ci, bi: (ci * nblk + bi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((qb, c), lambda ci, bi: (ci * nblk + bi, 0),
+            pl.BlockSpec((c, qb), lambda ci, bi: (ci * nblk + bi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rq, width), lambda ci, bi: (ci, 0),
                          memory_space=pltpu.VMEM),
@@ -452,14 +498,17 @@ def _run_bwd_v2(quad, rows, winfo, g, heads, c, p, qb, d_size, counts_sm):
         out_specs=(
             pl.BlockSpec((rq, width), lambda ci, bi: (ci, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, 4), lambda ci, bi: (ci * nblk + bi, 0),
+            pl.BlockSpec((8 * p, qb), lambda ci, bi: (ci * nblk + bi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, d_size), lambda ci, bi: (ci * nblk + bi, 0),
+            pl.BlockSpec((dpad * p, qb),
+                         lambda ci, bi: (ci * nblk + bi, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=(
             [pltpu.VMEM((qb, width), jnp.float32) for _ in range(p)]    # sc
             + [pltpu.VMEM((qb, width), jnp.float32) for _ in range(p)]  # u
+            + [pltpu.SMEM((m // 128, 128), jnp.int32),
+               pltpu.SemaphoreType.DMA]
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
@@ -467,11 +516,17 @@ def _run_bwd_v2(quad, rows, winfo, g, heads, c, p, qb, d_size, counts_sm):
     )(
         counts_sm,
         rows.reshape(-1, 128),
-        winfo.reshape(nh * nblk * m, 8),
-        g,
+        winfo_t.reshape(nh * nblk * 8, m),
+        g_t.reshape(nh * nblk * c, qb),
         quad.reshape(nh * rq, width),
     )
-    return dquad.reshape(nh, rq, width), dw4, ddvec
+    # (blk, point, padded-lane, qb) -> sample-major (blk, point, qb, lane)
+    dw4 = jnp.swapaxes(dw4.reshape(nh * nblk * p, 8, qb)[:, :4], 1, 2)
+    ddvec = jnp.swapaxes(
+        ddvec.reshape(nh * nblk * p, dpad, qb)[:, :d_size], 1, 2)
+    return (dquad.reshape(nh, rq, width),
+            dw4.reshape(nh * nblk * m, 4),
+            ddvec.reshape(nh * nblk * m, d_size))
 
 
 # ---------------------------------------------------------------------------
@@ -566,7 +621,7 @@ def _bwd_impl_v2(value_img, dpt_img, sampling_locations, attention_weights,
                  g, num_heads, counts=None):
     n, k = sampling_locations.shape[:2]
     hp = sampling_locations.shape[2] * sampling_locations.shape[3]
-    chunk = _pick_cam_chunk(n, k * hp)
+    chunk = _pick_cam_chunk(n, k * hp, sample_budget=8 << 20)
     if chunk == n:
         return _bwd_cams_v2(value_img, dpt_img, sampling_locations,
                             attention_weights, g, num_heads, counts=counts)

@@ -452,7 +452,7 @@ def _vjp_bwd_v3(num_heads, res, g):
     value_img, dpt_img, sampling_locations, attention_weights = res
     n, k = sampling_locations.shape[:2]
     hp = sampling_locations.shape[2] * sampling_locations.shape[3]
-    chunk = _pick_cam_chunk(n, k * hp)
+    chunk = _pick_cam_chunk(n, k * hp, sample_budget=8 << 20)
     if chunk == n:
         return _bwd_cams_q(value_img, dpt_img, sampling_locations,
                            attention_weights, g, num_heads)
