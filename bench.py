@@ -71,11 +71,11 @@ DEADLINE = float(os.environ.get("BENCH_DEADLINE_SEC", "1380"))
 # extra["measured_live_keys"]
 CACHED = {
     "scannet_40view_dense_ring_scenes_per_sec": 4.2874,
-    "scannet_100view_eval_scenes_per_sec": 2.6999,
+    "scannet_100view_eval_scenes_per_sec": 2.7062,
     "scannet200_large_40view_scenes_per_sec": 1.3103,
-    "train_scenes_per_sec_40views": 2.0683,
+    "train_scenes_per_sec_40views": 2.4524,
 }
-CACHED_HEADLINE = 6.5639  # indoor walkthrough + auto exact budget, 2026-08-21
+CACHED_HEADLINE = 6.8581  # indoor walkthrough + auto exact budget, 2026-08-21
 
 _LOCK = threading.Lock()
 _RESULT = {

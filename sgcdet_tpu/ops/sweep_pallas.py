@@ -183,6 +183,13 @@ def _corner_slices_pk(s, c):
                                 (1, _unpack_hi), (1, _unpack_lo))]
 
 
+def _w4_plane(w4_ref, dp):
+    """Per-plane (hwp, 4) weights from the transposed (8*dpc, hwp) window
+    (narrow (m, 4) windows pay a per-row DMA descriptor tax ~1.9 ns/row —
+    docs/roadmap.md round-5; the transpose back is ~free in-register)."""
+    return jnp.transpose(w4_ref[dp * 8:dp * 8 + 4, :])
+
+
 def _fwd_body(rng_ref, w4_ref, ref_ref, out_ref, sc, corners, c, dpc, hwp,
               inv_sqrt_c, base):
     ref = ref_ref[:]  # (hwp, c)
@@ -196,9 +203,9 @@ def _fwd_body(rng_ref, w4_ref, ref_ref, out_ref, sc, corners, c, dpc, hwp,
         sl = pl.ds(dp * hwp, hwp)
 
         @pl.when(rng_ref[1, base + dp] > rng_ref[0, base + dp])
-        def _(sl=sl):
+        def _(dp=dp, sl=sl):
             s = sc[sl, :]
-            w4 = w4_ref[sl, :]
+            w4 = _w4_plane(w4_ref, dp)
             warped = None
             for j, cj in enumerate(corners(s, c)):
                 term = w4[:, j:j + 1] * cj
@@ -206,11 +213,13 @@ def _fwd_body(rng_ref, w4_ref, ref_ref, out_ref, sc, corners, c, dpc, hwp,
             corr = jnp.sum(warped * ref, axis=1, keepdims=True) * inv_sqrt_c
             vs = w4[:, 0:1] + w4[:, 1:2] + w4[:, 2:3] + w4[:, 3:4]
             corr = jnp.where(vs > 0.0, corr, 0.0)
-            out_ref[sl, :] = jnp.broadcast_to(corr, (hwp, 8))
+            # transposed out: one (1, hwp) row per plane instead of a
+            # (hwp, 8) narrow window
+            out_ref[dp:dp + 1, :] = jnp.transpose(corr)
 
         @pl.when(rng_ref[1, base + dp] <= rng_ref[0, base + dp])
-        def _(sl=sl):
-            out_ref[sl, :] = jnp.zeros((hwp, 8), jnp.float32)
+        def _(dp=dp):
+            out_ref[dp:dp + 1, :] = jnp.zeros((1, hwp), jnp.float32)
 
 
 def _fwd_kernel(rng_ref, rows_ref, w4_ref, quad_ref, ref_ref, out_ref, sc, *,
@@ -263,14 +272,15 @@ def _bwd_kernel(rng_ref, rows_ref, w4_ref, g_ref, quad_ref, ref_ref,
         @pl.when(rng_ref[1, base + dp] > rng_ref[0, base + dp])
         def _(dp=dp, sl=sl):
             s = sc[sl, :]
-            w4 = w4_ref[sl, :]
+            w4 = _w4_plane(w4_ref, dp)
             warped = None
             for j, cj in enumerate(corners(s, c)):
                 term = w4[:, j:j + 1] * cj
                 warped = term if warped is None else warped + term
             vs = w4[:, 0:1] + w4[:, 1:2] + w4[:, 2:3] + w4[:, 3:4]
             warped = jnp.where(vs > 0.0, warped, 0.0)
-            gc = g_ref[sl, :][:, 0:1] * inv_sqrt_c  # lane 0 carries the grad
+            # transposed g: one (1, hwp) row per plane (see _fwd_body)
+            gc = jnp.transpose(g_ref[dp:dp + 1, :]) * inv_sqrt_c
             dref_ref[:] += gc * warped
             dw = gc * ref  # (hwp, c)
             scu[sl, :] = jnp.concatenate(
@@ -313,17 +323,36 @@ def _plan(d, hwp, c, rq, bwd=False, width=None, scw=None):
     def vmem(dpc):
         m = dpc * hwp
         fixed = 2 * (rq * width + hwp * 128) * 4  # quad + ref windows
-        per_step = 2 * m * 128 * 4  # w4 + out/g windows, lane-padded
+        # transposed w4 (8*dpc, hwp) + out/g (8, hwp) windows, double-buffered
+        per_step = 2 * (8 * dpc + 16) * hwp * 4
         scratch = m * scw * 4
         spill = 2 * hwp * max(width, 4 * c if bwd else 0) * 4
         if bwd:
             fixed += 2 * (rq * 4 * c + hwp * 128) * 4  # dquad + dref outputs
         return fixed + 2 * per_step + scratch + spill
 
-    dpc = max(1, d)
+    # dpc <= 8: the transposed out/g blocks hold one plane per sublane row
+    # of an 8-row window
+    dpc = max(1, min(d, 8))
     while dpc > 1 and (d % dpc or vmem(dpc) > limit):
         dpc -= 1
     return dpc
+
+
+def _w4_transposed(w4, n, d, hwp):
+    """(N*D*HWp, 4)-ordered weights -> (N*D*8, HWp): per plane the 4
+    weight lanes become 4 wide rows (padded to 8 sublanes) so the kernel
+    window streams wide rows instead of 16-byte ones."""
+    w4 = jnp.moveaxis(w4.reshape(n, d, hwp, 4), 3, 2)  # (N, D, 4, HWp)
+    w4 = jnp.pad(w4, ((0, 0), (0, 0), (0, 4), (0, 0)))
+    return w4.reshape(n * d * 8, hwp)
+
+
+def _out_untransposed(out, n, nchunk, dpc, hwp):
+    """(N*nchunk*8, HWp) per-plane-row kernel output -> (N, D, HWp).
+    Rows [dpc:8) of each step block are never written (garbage) and are
+    sliced off here."""
+    return out.reshape(n, nchunk, 8, hwp)[:, :, :dpc].reshape(n, -1, hwp)
 
 
 def _run_fwd(quad, ref, rows, w4, rng, c, d, hwp):
@@ -335,20 +364,20 @@ def _run_fwd(quad, ref, rows, w4, rng, c, d, hwp):
         functools.partial(_fwd_kernel, c=c, dpc=dpc, hwp=hwp,
                           inv_sqrt_c=1.0 / (c ** 0.5), nchunk=nchunk),
         grid=(n, nchunk),
-        out_shape=jax.ShapeDtypeStruct((n * d * hwp, 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n * nchunk * 8, hwp), jnp.float32),
         in_specs=[
             pl.BlockSpec(rng.shape, lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((m // 128, 128), lambda i, j: (i * nchunk + j, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((m, 4), lambda i, j: (i * nchunk + j, 0),
+            pl.BlockSpec((8 * dpc, hwp), lambda i, j: (i * nchunk + j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rq, width), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((hwp, c), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((m, 8), lambda i, j: (i * nchunk + j, 0),
+        out_specs=pl.BlockSpec((8, hwp), lambda i, j: (i * nchunk + j, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((m, width), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -357,11 +386,11 @@ def _run_fwd(quad, ref, rows, w4, rng, c, d, hwp):
     )(
         rng,
         rows.reshape(-1, 128),
-        w4.reshape(n * d * hwp, 4),
+        _w4_transposed(w4, n, d, hwp),
         quad.reshape(n * rq, width),
         ref.reshape(n * hwp, c),
     )
-    return out.reshape(n, d, hwp, 8)[..., 0]
+    return _out_untransposed(out, n, nchunk, dpc, hwp)
 
 
 def _run_fwd_pk(packed, ref, rows, w4, rng, c, d, hwp):
@@ -373,20 +402,20 @@ def _run_fwd_pk(packed, ref, rows, w4, rng, c, d, hwp):
         functools.partial(_fwd_kernel_pk, c=c, dpc=dpc, hwp=hwp,
                           inv_sqrt_c=1.0 / (c ** 0.5), nchunk=nchunk),
         grid=(n, nchunk),
-        out_shape=jax.ShapeDtypeStruct((n * d * hwp, 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n * nchunk * 8, hwp), jnp.float32),
         in_specs=[
             pl.BlockSpec(rng.shape, lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((m // 128, 128), lambda i, j: (i * nchunk + j, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((m, 4), lambda i, j: (i * nchunk + j, 0),
+            pl.BlockSpec((8 * dpc, hwp), lambda i, j: (i * nchunk + j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rq, width), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((hwp, c), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((m, 8), lambda i, j: (i * nchunk + j, 0),
+        out_specs=pl.BlockSpec((8, hwp), lambda i, j: (i * nchunk + j, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((m, width), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -395,11 +424,11 @@ def _run_fwd_pk(packed, ref, rows, w4, rng, c, d, hwp):
     )(
         rng,
         rows.reshape(-1, 128),
-        w4.reshape(n * d * hwp, 4),
+        _w4_transposed(w4, n, d, hwp),
         packed.reshape(n * rq, width),
         ref.reshape(n * hwp, c),
     )
-    return out.reshape(n, d, hwp, 8)[..., 0]
+    return _out_untransposed(out, n, nchunk, dpc, hwp)
 
 
 def _bwd_kernel_inplace(rng, rows, w4, g, quad, ref, dquad, dref, sc, **kw):
@@ -413,8 +442,10 @@ def _run_bwd(quad, ref, rows, w4, g, rng, c, d, hwp, packed=False):
     dpc = _plan(d, hwp, c, rq, bwd=True, width=width, scw=scw)
     nchunk = d // dpc
     m = dpc * hwp
-    g8 = jnp.broadcast_to(g.astype(jnp.float32)[..., None],
-                          g.shape + (8,)).reshape(n * d * hwp, 8)
+    # transposed g: (N, D, HWp) -> (N*nchunk*8, HWp), one wide row per plane
+    g_t = jnp.pad(g.astype(jnp.float32).reshape(n, nchunk, dpc, hwp),
+                  ((0, 0), (0, 0), (0, 8 - dpc), (0, 0))
+                  ).reshape(n * nchunk * 8, hwp)
     if packed:
         kernel = functools.partial(_bwd_kernel, corners=_corner_slices_pk)
         scratch = [pltpu.VMEM((m, width), jnp.float32),
@@ -435,9 +466,9 @@ def _run_bwd(quad, ref, rows, w4, g, rng, c, d, hwp, packed=False):
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((m // 128, 128), lambda i, j: (i * nchunk + j, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((m, 4), lambda i, j: (i * nchunk + j, 0),
+            pl.BlockSpec((8 * dpc, hwp), lambda i, j: (i * nchunk + j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, 8), lambda i, j: (i * nchunk + j, 0),
+            pl.BlockSpec((8, hwp), lambda i, j: (i * nchunk + j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rq, width), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -457,8 +488,8 @@ def _run_bwd(quad, ref, rows, w4, g, rng, c, d, hwp, packed=False):
     )(
         rng,
         rows.reshape(-1, 128),
-        w4.reshape(n * d * hwp, 4),
-        g8,
+        _w4_transposed(w4, n, d, hwp),
+        g_t,
         quad.reshape(n * rq, width),
         ref.reshape(n * hwp, c),
     )
