@@ -160,11 +160,14 @@ def stage(name, min_budget_s, fn):
         return None
 
 
-def derive_sweep_band(scene, cfg, n_views, max_paying=28):
+def derive_sweep_band(scene, cfg, n_views, max_paying=20):
     """Rig-derived exact band for the banded-Gram plane sweep, or None when
     the rig needs a band too tall to pay (utils/visibility.
     required_sweep_band — exact by construction; rigs with strong
-    inter-neighbor rotation or z~0 plane crossings need the full height)."""
+    inter-neighbor rotation or z~0 plane crossings need the full height).
+    Threshold re-measured 2026-08-21 after the gather kernel's transposed-
+    window fix: at 100 views, band 22 runs 59.2 ms/call vs the gather
+    kernel's 56.5 — banded pays only below ~20 rows now (was 28)."""
     from sgcdet_tpu.utils.visibility import required_sweep_band
 
     h, w = cfg.data.img_shape[0] // 4, cfg.data.img_shape[1] // 4

@@ -308,10 +308,12 @@ def main(argv=None):
                 _, _, proj4 = ds.scene_poses(int(i))
                 band = max(band, required_sweep_band(
                     proj4, proj4.shape[0], config.model, (h4, w4)))
+            # banded pays below ~20 rows (re-measured 2026-08-21 after the
+            # gather kernel's transposed-window fix; was 28)
             print(f"auto sweep band (exact over {n_scan} scenes): {band}"
-                  f"{' — too tall, keeping gather kernels' if band > 28 else ''}",
+                  f"{' — too tall, keeping gather kernels' if band > 20 else ''}",
                   flush=True)
-            band = band if band <= 28 else None
+            band = band if band <= 20 else None
         else:
             band = int(args.sweep_band)
         config = dataclasses.replace(

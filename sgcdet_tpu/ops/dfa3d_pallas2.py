@@ -42,6 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .dfa3d_pallas import _counts_smem, _pick_cam_chunk, _round_up
+from .dfa3d_pallas3 import _pack2, _unpack_hi, _unpack_lo
 
 
 # ---------------------------------------------------------------------------
@@ -50,43 +51,53 @@ from .dfa3d_pallas import _counts_smem, _pick_cam_chunk, _round_up
 
 
 def _build_quad_image(value_img, dpt_img, heads):
-    """(N, H, W, heads*c) + (N, H, W, D) -> (N*heads, Rq, 4*(c+D)) f32.
+    """(N, H, W, heads*c) + (N, H, W, D) -> (N*heads, Rq, 4*(c+D)).
 
     Row (y', x'), y' in 0..H, x' in 0..W, holds corners
     A=(y'-1, x'-1), B=(y'-1, x'), C=(y', x'-1), D=(y', x') (edge-duplicated
     out of range; those slots are only ever read/written with zero weight).
-    Rq = (H+1)*(W+1) padded up to a multiple of 8.
+    Rq = (H+1)*(W+1) padded up to a multiple of 8.  bf16 inputs build a bf16
+    quad (lossless — the f32 quad of a bf16 image carries the same values;
+    the kernels cast gathered rows to f32 in-register): HALF the build
+    traffic and gather bytes of f32.
     """
     n, h, w, cfull = value_img.shape
     c = cfull // heads
     d = dpt_img.shape[-1]
+    packed = (value_img.dtype == jnp.bfloat16
+              and dpt_img.dtype == jnp.bfloat16)
     v = value_img.astype(jnp.float32).reshape(n, h, w, heads, c)
     v = jnp.moveaxis(v, 3, 1)  # (N, heads, H, W, c)
     vp = jnp.pad(v, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
-    quad_v = jnp.concatenate(
-        [
-            vp[:, :, : h + 1, : w + 1],     # A = (y'-1, x'-1)
-            vp[:, :, : h + 1, 1: w + 2],    # B = (y'-1, x')
-            vp[:, :, 1: h + 2, : w + 1],    # C = (y', x'-1)
-            vp[:, :, 1: h + 2, 1: w + 2],   # D = (y', x')
-        ],
-        axis=-1,
-    )  # (N, heads, H+1, W+1, 4c)
+    vA = vp[:, :, : h + 1, : w + 1]      # A = (y'-1, x'-1)
+    vB = vp[:, :, : h + 1, 1: w + 2]     # B = (y'-1, x')
+    vC = vp[:, :, 1: h + 2, : w + 1]     # C = (y', x'-1)
+    vD = vp[:, :, 1: h + 2, 1: w + 2]    # D = (y', x')
     dp = dpt_img.astype(jnp.float32)
     dpp = jnp.pad(dp, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
-    quad_d = jnp.concatenate(
-        [
-            dpp[:, : h + 1, : w + 1],
-            dpp[:, : h + 1, 1: w + 2],
-            dpp[:, 1: h + 2, : w + 1],
-            dpp[:, 1: h + 2, 1: w + 2],
-        ],
-        axis=-1,
-    )  # (N, H+1, W+1, 4D)
-    quad_d = jnp.broadcast_to(quad_d[:, None], (n, heads) + quad_d.shape[1:])
-    quad = jnp.concatenate([quad_v, quad_d], axis=-1)
+    dA = dpp[:, : h + 1, : w + 1]
+    dB = dpp[:, : h + 1, 1: w + 2]
+    dC = dpp[:, 1: h + 2, : w + 1]
+    dD = dpp[:, 1: h + 2, 1: w + 2]
+    if packed:
+        # bf16 corner pairs packed into f32 words (lossless for bf16
+        # inputs; HALF the build traffic and gather lanes): layout
+        # [AB_v | CD_v | AB_d | CD_d], hi16 = first corner
+        bh = lambda x: jnp.broadcast_to(
+            x[:, None], (n, heads) + x.shape[1:])
+        quad = jnp.concatenate(
+            [_pack2(vA, vB), _pack2(vC, vD),
+             bh(_pack2(dA, dB)), bh(_pack2(dC, dD))], axis=-1)
+        wq = 2 * (c + d)
+    else:
+        quad_d = jnp.concatenate([dA, dB, dC, dD], axis=-1)
+        quad = jnp.concatenate(
+            [vA, vB, vC, vD,
+             jnp.broadcast_to(quad_d[:, None],
+                              (n, heads) + quad_d.shape[1:])], axis=-1)
+        wq = 4 * (c + d)
     rq = (h + 1) * (w + 1)
-    quad = quad.reshape(n * heads, rq, 4 * (c + d))
+    quad = quad.reshape(n * heads, rq, wq)
     rq_pad = _round_up(rq, 8)
     if rq_pad != rq:
         quad = jnp.pad(quad, ((0, 0), (0, rq_pad - rq), (0, 0)))
@@ -223,15 +234,28 @@ def _dvec(winfo, rows, d_size):
     )
 
 
-def _point_contrib(s, winfo, c, d_size, qb):
+def _corner_vd(s, j, c, d_size, packed):
+    """Corner j's (value (m, c), depth (m, d)) slices from a gathered row:
+    plain f32 layout [vA|vB|vC|vD|dA|dB|dC|dD] or bf16-packed
+    [AB_v|CD_v|AB_d|CD_d] (hi16 = first corner of each pair)."""
+    if packed:
+        un = _unpack_hi if j % 2 == 0 else _unpack_lo
+        vj = un(s[:, (j // 2) * c:(j // 2 + 1) * c])
+        dj = un(s[:, 2 * c + (j // 2) * d_size:2 * c + (j // 2 + 1) * d_size])
+        return vj, dj
+    vj = s[:, j * c:(j + 1) * c]
+    dj = s[:, 4 * c + j * d_size: 4 * c + (j + 1) * d_size]
+    return vj, dj
+
+
+def _point_contrib(s, winfo, c, d_size, qb, packed=False):
     """One point's contribution (qb, c) + (per-corner ds, vals) for the bwd."""
     dvec = _dvec(winfo, qb, d_size)
     contrib = None
     ds_list = []
     vals = []
     for j in range(4):
-        vj = s[:, j * c:(j + 1) * c]
-        dj = s[:, 4 * c + j * d_size: 4 * c + (j + 1) * d_size]
+        vj, dj = _corner_vd(s, j, c, d_size, packed)
         dsj = jnp.sum(dj * dvec, axis=1, keepdims=True)
         term = (winfo[:, j:j + 1] * dsj) * vj
         contrib = term if contrib is None else contrib + term
@@ -241,7 +265,7 @@ def _point_contrib(s, winfo, c, d_size, qb):
 
 
 def _fwd_kernel_v2(counts_ref, rows_hbm, winfo_ref, img_ref, out_ref,
-                   *scratch, c, p, qb, d_size, heads, nblk):
+                   *scratch, c, p, qb, d_size, heads, nblk, packed=False):
     # data-dependent block skip: the budget compaction packs each camera's
     # visible queries FIRST, so a whole query block past the camera's actual
     # visible count contributes nothing downstream (its outputs are masked
@@ -280,7 +304,8 @@ def _fwd_kernel_v2(counts_ref, rows_hbm, winfo_ref, img_ref, out_ref,
         acc = None
         for j in range(p):
             winfo = jnp.transpose(winfo_ref[:, j * qb:(j + 1) * qb])
-            contrib, _, _, _ = _point_contrib(scs[j][:], winfo, c, d_size, qb)
+            contrib, _, _, _ = _point_contrib(scs[j][:], winfo, c, d_size,
+                                              qb, packed)
             acc = contrib if acc is None else acc + contrib
         rowmask = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 0) < rem
         out_ref[:] = jnp.transpose(jnp.where(rowmask, acc, 0.0))
@@ -292,7 +317,7 @@ def _fwd_kernel_v2(counts_ref, rows_hbm, winfo_ref, img_ref, out_ref,
 
 def _bwd_kernel_v2(counts_ref, rows_hbm, winfo_ref, g_ref, img_ref, dimg_ref,
                    dw4_ref, ddvec_ref, *scratch, c, p, qb, d_size, heads,
-                   nblk):
+                   nblk, packed=False):
     # Narrow operands ride TRANSPOSED windows (winfo (8, m), g (c, qb)) and
     # are transposed back in-register; the narrow grad outputs are written
     # transposed the same way (dw4 (4p, qb), ddvec (d_size*p, qb)) — see
@@ -337,7 +362,8 @@ def _bwd_kernel_v2(counts_ref, rows_hbm, winfo_ref, g_ref, img_ref, dimg_ref,
         for j in range(p):
             s = scs[j][:]
             winfo = jnp.transpose(winfo_ref[:, j * qb:(j + 1) * qb])
-            _, dvec, ds_list, vals = _point_contrib(s, winfo, c, d_size, qb)
+            _, dvec, ds_list, vals = _point_contrib(s, winfo, c, d_size, qb,
+                                                    packed)
             t_list = [jnp.sum(v * g, axis=1, keepdims=True) for v in vals]
             dw4v = jnp.where(
                 rowmask,
@@ -349,7 +375,7 @@ def _bwd_kernel_v2(counts_ref, rows_hbm, winfo_ref, g_ref, img_ref, dimg_ref,
                 jnp.pad(dw4v, ((0, 0), (0, 4))))
             ddvec = None
             for i in range(4):
-                dj = s[:, 4 * c + i * d_size: 4 * c + (i + 1) * d_size]
+                dj = _corner_vd(s, i, c, d_size, packed)[1]
                 term = (winfo[:, i:i + 1] * t_list[i]) * dj
                 ddvec = term if ddvec is None else ddvec + term
             ddvec_ref[j * dpad:(j + 1) * dpad, :] = jnp.transpose(
@@ -426,14 +452,15 @@ def _pick_qb_v2(k, p, target=12288, bwd=False, counted=False):
 def _run_fwd_v2(quad, rows, winfo, heads, c, p, qb, d_size, counts_sm):
     nh, nblk, m = rows.shape
     rq = quad.shape[1]
-    width = 4 * (c + d_size)
+    win = quad.shape[2]  # 4*(c+D) f32 rows or 2*(c+D) bf16-packed words
+    packed = win == 2 * (c + d_size)
     n_cams = counts_sm.shape[1]
     # winfo transposed to (8, m) wide-row windows; out comes back (c, qb)
     # per block (see _fwd_kernel_v2's narrow-operand note)
     winfo_t = jnp.swapaxes(winfo.reshape(nh * nblk, m, 8), 1, 2)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel_v2, c=c, p=p, qb=qb, d_size=d_size,
-                          heads=heads, nblk=nblk),
+                          heads=heads, nblk=nblk, packed=packed),
         grid=(nh, nblk),
         out_shape=jax.ShapeDtypeStruct((nh * nblk * c, qb), jnp.float32),
         in_specs=[
@@ -442,12 +469,12 @@ def _run_fwd_v2(quad, rows, winfo, heads, c, p, qb, d_size, counts_sm):
             pl.BlockSpec(memory_space=pl.ANY),  # rows stay in HBM
             pl.BlockSpec((8, m), lambda ci, bi: (ci * nblk + bi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rq, width), lambda ci, bi: (ci, 0),
+            pl.BlockSpec((rq, win), lambda ci, bi: (ci, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((c, qb), lambda ci, bi: (ci * nblk + bi, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((qb, width), jnp.float32)
+        scratch_shapes=[pltpu.VMEM((qb, win), jnp.float32)
                         for _ in range(p)]
         + [pltpu.SMEM((m // 128, 128), jnp.int32),
            pltpu.SemaphoreType.DMA],
@@ -458,7 +485,7 @@ def _run_fwd_v2(quad, rows, winfo, heads, c, p, qb, d_size, counts_sm):
         counts_sm,
         rows.reshape(-1, 128),
         winfo_t.reshape(nh * nblk * 8, m),
-        quad.reshape(nh * rq, width),
+        quad.reshape(nh * rq, win),
     )
     out = jnp.swapaxes(out.reshape(nh * nblk, c, qb), 1, 2)
     return out.reshape(nh * nblk * qb, c)
@@ -467,7 +494,9 @@ def _run_fwd_v2(quad, rows, winfo, heads, c, p, qb, d_size, counts_sm):
 def _run_bwd_v2(quad, rows, winfo, g, heads, c, p, qb, d_size, counts_sm):
     nh, nblk, m = rows.shape
     rq = quad.shape[1]
-    width = 4 * (c + d_size)
+    win = quad.shape[2]   # gather-row width (packed or plain)
+    packed = win == 2 * (c + d_size)
+    wout = 4 * (c + d_size)  # f32 dquad / update-row width
     dpad = _round_up(d_size, 8)
     n_cams = counts_sm.shape[1]
     # winfo/g transposed to wide-row windows; dw4/ddvec come back transposed
@@ -477,10 +506,10 @@ def _run_bwd_v2(quad, rows, winfo, g, heads, c, p, qb, d_size, counts_sm):
     g_t = jnp.swapaxes(g.reshape(nh * nblk, qb, c), 1, 2)
     dquad, dw4, ddvec = pl.pallas_call(
         functools.partial(_bwd_kernel_v2, c=c, p=p, qb=qb, d_size=d_size,
-                          heads=heads, nblk=nblk),
+                          heads=heads, nblk=nblk, packed=packed),
         grid=(nh, nblk),
         out_shape=(
-            jax.ShapeDtypeStruct((nh * rq, width), jnp.float32),
+            jax.ShapeDtypeStruct((nh * rq, wout), jnp.float32),
             jax.ShapeDtypeStruct((nh * nblk * 8 * p, qb), jnp.float32),
             jax.ShapeDtypeStruct((nh * nblk * dpad * p, qb), jnp.float32),
         ),
@@ -492,11 +521,11 @@ def _run_bwd_v2(quad, rows, winfo, g, heads, c, p, qb, d_size, counts_sm):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((c, qb), lambda ci, bi: (ci * nblk + bi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rq, width), lambda ci, bi: (ci, 0),
+            pl.BlockSpec((rq, win), lambda ci, bi: (ci, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((rq, width), lambda ci, bi: (ci, 0),
+            pl.BlockSpec((rq, wout), lambda ci, bi: (ci, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8 * p, qb), lambda ci, bi: (ci * nblk + bi, 0),
                          memory_space=pltpu.VMEM),
@@ -505,8 +534,8 @@ def _run_bwd_v2(quad, rows, winfo, g, heads, c, p, qb, d_size, counts_sm):
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=(
-            [pltpu.VMEM((qb, width), jnp.float32) for _ in range(p)]    # sc
-            + [pltpu.VMEM((qb, width), jnp.float32) for _ in range(p)]  # u
+            [pltpu.VMEM((qb, win), jnp.float32) for _ in range(p)]      # sc
+            + [pltpu.VMEM((qb, wout), jnp.float32) for _ in range(p)]   # u
             + [pltpu.SMEM((m // 128, 128), jnp.int32),
                pltpu.SemaphoreType.DMA]
         ),
@@ -518,13 +547,13 @@ def _run_bwd_v2(quad, rows, winfo, g, heads, c, p, qb, d_size, counts_sm):
         rows.reshape(-1, 128),
         winfo_t.reshape(nh * nblk * 8, m),
         g_t.reshape(nh * nblk * c, qb),
-        quad.reshape(nh * rq, width),
+        quad.reshape(nh * rq, win),
     )
     # (blk, point, padded-lane, qb) -> sample-major (blk, point, qb, lane)
     dw4 = jnp.swapaxes(dw4.reshape(nh * nblk * p, 8, qb)[:, :4], 1, 2)
     ddvec = jnp.swapaxes(
         ddvec.reshape(nh * nblk * p, dpad, qb)[:, :d_size], 1, 2)
-    return (dquad.reshape(nh, rq, width),
+    return (dquad.reshape(nh, rq, wout),
             dw4.reshape(nh * nblk * m, 4),
             ddvec.reshape(nh * nblk * m, d_size))
 

@@ -145,3 +145,46 @@ def test_v2_bf16_inputs_close():
     assert out.dtype == jnp.bfloat16
     scale = max(float(jnp.abs(ref).max()), 1.0)
     assert float(jnp.abs(out.astype(jnp.float32) - ref).max()) < 2e-2 * scale
+
+
+def test_v2_bf16_quad_exact_and_grads():
+    """bf16 inputs now build a bf16 QUAD image (half the gather bytes) with
+    f32 in-register corner math: vs the oracle fed the same bf16-rounded
+    inputs the forward differs only by the bf16 OUTPUT cast, and grads match
+    to f32 ordering + bf16-grad-cast noise."""
+    from sgcdet_tpu.ops.dfa3d_pallas2 import dfa3d_attention_pallas_v2
+
+    n, h, w, k, heads, c, p, d = 2, 30, 40, 320, 8, 32, 4, 12
+    value_img, dpt_img, locs, attn = _case(n, h, w, k, heads, c, p, d)
+    vr = value_img.astype(jnp.bfloat16).astype(jnp.float32)
+    dr = dpt_img.astype(jnp.bfloat16).astype(jnp.float32)
+    ref, _ = dfa3d_attention(
+        vr.reshape(n, h * w, heads, c), dr.reshape(n, h * w, d),
+        ((h, w),), locs[:, :, :, None], attn[:, :, :, None],
+    )
+    out = dfa3d_attention_pallas_v2(
+        value_img.astype(jnp.bfloat16), dpt_img.astype(jnp.bfloat16),
+        locs, attn, heads,
+    )
+    scale = max(float(jnp.abs(ref).max()), 1.0)
+    assert float(jnp.abs(out.astype(jnp.float32) - ref).max()) < 8e-3 * scale
+
+    def loss_pal(vi, di, lo, at):
+        return jnp.sum(dfa3d_attention_pallas_v2(
+            vi, di, lo, at, heads).astype(jnp.float32) ** 2)
+
+    def loss_ref(vi, di, lo, at):
+        o, _ = dfa3d_attention(
+            vi.reshape(n, h * w, heads, c), di.reshape(n, h * w, d),
+            ((h, w),), lo[:, :, :, None], at[:, :, :, None],
+        )
+        return jnp.sum(o.reshape(n, k, heads * c) ** 2)
+
+    gp = jax.grad(loss_pal, argnums=(0, 1, 2, 3))(
+        value_img.astype(jnp.bfloat16), dpt_img.astype(jnp.bfloat16),
+        locs, attn)
+    gx = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(vr, dr, locs, attn)
+    for name, a, b in zip(["d_value", "d_dpt", "d_loc", "d_attn"], gx, gp):
+        b = b.astype(jnp.float32)
+        scale = max(float(jnp.abs(a).max()), 1.0)
+        assert float(jnp.abs(a - b).max()) < 2e-2 * scale, name
